@@ -1,0 +1,121 @@
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thinkdiff_tpu.core.config import Config, ConfigNode, parse_options
+from thinkdiff_tpu.core.optim import (
+    linear_warmup_cosine_schedule, make_optimizer, make_schedule_from_config,
+)
+from thinkdiff_tpu.core.registry import registry
+from thinkdiff_tpu.parallel.mesh import make_mesh
+from thinkdiff_tpu.parallel.sharding import shard_params, shard_spec_tree
+
+
+def test_registry_roundtrip():
+    @registry.register_model("_test_model_xyz")
+    class M:
+        pass
+
+    assert registry.get_model_class("_test_model_xyz") is M
+    registry.register("a.b.c", 42)
+    assert registry.get("a.b.c") == 42
+    assert registry.get("a.b.missing", "d") == "d"
+
+
+def test_confignode_merge_and_dotted():
+    node = ConfigNode({"run": {"lr": 1e-4, "nested": {"x": 1}}})
+    node.merge({"run": {"nested": {"y": 2}, "lr": 5e-5}})
+    assert node.run.lr == 5e-5
+    assert node.run.nested.x == 1 and node.run.nested.y == 2
+    node.set_dotted("run.nested.z", 3)
+    assert node.run.nested.z == 3
+
+
+def test_parse_options_both_forms():
+    opts = parse_options(["run.seed=7", "model.dtype", "bfloat16", "run.amp=true"])
+    assert opts["run.seed"] == 7
+    assert opts["model.dtype"] == "bfloat16"
+    assert opts["run.amp"] is True
+
+
+def test_config_loads_reference_style_yaml(tmp_path):
+    cfg_yaml = tmp_path / "c.yaml"
+    cfg_yaml.write_text(
+        """
+model:
+  arch: _not_registered_arch
+  dtype: bfloat16
+datasets:
+  my_ds:
+    batch_size: 4
+run:
+  task: image_text_pretrain
+  init_lr: 1e-4
+  seed: 42
+"""
+    )
+
+    class Args:
+        cfg_path = str(cfg_yaml)
+        options = ["run.seed=7"]
+
+    cfg = Config(Args())
+    assert cfg.run_cfg.seed == 7
+    assert cfg.model_cfg.dtype == "bfloat16"
+    assert cfg.datasets_cfg.my_ds.batch_size == 4
+    assert float(cfg.run_cfg.init_lr) == 1e-4
+
+
+def test_lr_schedule_values():
+    sched = linear_warmup_cosine_schedule(
+        init_lr=1e-4, min_lr=8e-5, warmup_lr=1e-6, warmup_steps=10, total_steps=100
+    )
+    assert np.isclose(float(sched(0)), 1e-6)
+    assert np.isclose(float(sched(10)), 1e-4, rtol=1e-2)
+    assert np.isclose(float(sched(100)), 8e-5, rtol=1e-3)
+    # monotone decrease after warmup
+    assert float(sched(50)) < float(sched(20))
+
+
+def test_make_optimizer_updates_params():
+    run_cfg = {"lr_sched": "linear_warmup_cosine_lr", "init_lr": 1e-2,
+               "min_lr": 1e-3, "warmup_lr": 1e-6, "warmup_steps": 0,
+               "max_epoch": 1, "iters_per_epoch": 10, "weight_decay": 0.01,
+               "use_clip_grad_norm": True, "max_grad_norm": 1.0}
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    tx, _ = make_optimizer(run_cfg, params)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+    assert not np.allclose(np.asarray(new_params["dense"]["kernel"]), 1.0)
+
+
+def test_mesh_and_param_sharding():
+    assert jax.device_count() == 8
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    params = {
+        "layer": {
+            "q_proj": {"kernel": jnp.ones((256, 256))},
+            "o_proj": {"kernel": jnp.ones((256, 256))},
+            "norm": {"scale": jnp.ones((256,))},
+        }
+    }
+    specs = shard_spec_tree(params)
+    assert specs["layer"]["q_proj"]["kernel"] == jax.sharding.PartitionSpec("fsdp", "model")
+    assert specs["layer"]["o_proj"]["kernel"] == jax.sharding.PartitionSpec("model", "fsdp")
+    sharded = shard_params(params, mesh)
+    k = sharded["layer"]["q_proj"]["kernel"]
+    assert k.sharding.is_fully_replicated is False
+    np.testing.assert_allclose(np.asarray(k), 1.0)
+
+
+def test_mesh_tiny_dims_fall_back_to_replication():
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    params = {"q_proj": {"kernel": jnp.ones((3, 5))}}  # indivisible
+    sharded = shard_params(params, mesh)
+    assert sharded["q_proj"]["kernel"].sharding.is_fully_replicated
