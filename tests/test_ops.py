@@ -1,0 +1,164 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thinkdiff_tpu.ops import (
+    apply_mrope, apply_rope, decode_attention, flash_attention,
+    mha_reference, rmsnorm, rmsnorm_reference, rope_frequencies,
+    update_kv_cache,
+)
+from thinkdiff_tpu.ops.flash_attention import _flash_attention_forward
+
+
+def _rand(shape, key, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=dtype)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_pallas_kernel_matches_reference_interpret(self, causal):
+        # Run the actual Pallas kernel in interpret mode on CPU.
+        b, h, t, d = 2, 4, 64, 32
+        q, k, v = _rand((b, h, t, d), 0), _rand((b, h, t, d), 1), _rand((b, h, t, d), 2)
+        import importlib
+        from unittest import mock
+        fa = importlib.import_module("thinkdiff_tpu.ops.flash_attention")
+
+        real_pallas_call = fa.pl.pallas_call
+
+        def interp_call(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("compiler_params", None)
+            return real_pallas_call(*args, **kwargs)
+
+        with mock.patch.object(fa.pl, "pallas_call", interp_call):
+            out = _flash_attention_forward(
+                q, k, v, None, causal=causal, sm_scale=d ** -0.5,
+                block_q=32, block_k=32,
+            )
+        ref = mha_reference(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_pallas_kernel_gqa_bias_ragged(self):
+        b, h, hkv, tq, tk, d = 2, 8, 2, 48, 80, 32  # non-multiple of block
+        q = _rand((b, h, tq, d), 0)
+        k = _rand((b, hkv, tk, d), 1)
+        v = _rand((b, hkv, tk, d), 2)
+        bias = _rand((1, h, tq, tk), 3) * 0.5
+        import importlib
+        from unittest import mock
+        fa = importlib.import_module("thinkdiff_tpu.ops.flash_attention")
+
+        real_pallas_call = fa.pl.pallas_call
+
+        def interp_call(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("compiler_params", None)
+            return real_pallas_call(*args, **kwargs)
+
+        with mock.patch.object(fa.pl, "pallas_call", interp_call):
+            out = _flash_attention_forward(
+                q, k, v, bias, causal=False, sm_scale=d ** -0.5,
+                block_q=32, block_k=32,
+            )
+        ref = mha_reference(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_dispatcher_grad_runs(self):
+        b, h, t, d = 1, 2, 16, 8
+        q, k, v = _rand((b, h, t, d), 0), _rand((b, h, t, d), 1), _rand((b, h, t, d), 2)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, None, True) ** 2)
+
+        g = jax.grad(loss)(q, k, v)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestDecodeAttention:
+    def test_matches_naive_on_valid_prefix(self):
+        b, h, s, d = 2, 4, 32, 16
+        k_cache = _rand((b, h, s, d), 1)
+        v_cache = _rand((b, h, s, d), 2)
+        q = _rand((b, h, 1, d), 0)
+        cache_len = jnp.array([10, 32], dtype=jnp.int32)
+        out = decode_attention(q, k_cache, v_cache, cache_len)
+        for i, L in enumerate([10, 32]):
+            ref = mha_reference(
+                q[i:i + 1], k_cache[i:i + 1, :, :L], v_cache[i:i + 1, :, :L]
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i:i + 1]), np.asarray(ref), atol=1e-5
+            )
+
+    def test_chunked_queries_causal_within_chunk(self):
+        b, h, s, d, tq = 1, 2, 16, 8, 4
+        k_cache = _rand((b, h, s, d), 1)
+        v_cache = _rand((b, h, s, d), 2)
+        q = _rand((b, h, tq, d), 0)
+        # cache_len = 8 means queries are positions 4..7
+        out = decode_attention(q, k_cache, v_cache, jnp.array([8], jnp.int32))
+        # last query sees all 8; first query sees first 5
+        ref_last = mha_reference(q[:, :, 3:4], k_cache[:, :, :8], v_cache[:, :, :8])
+        np.testing.assert_allclose(np.asarray(out[:, :, 3:4]), np.asarray(ref_last), atol=1e-5)
+        ref_first = mha_reference(q[:, :, 0:1], k_cache[:, :, :5], v_cache[:, :, :5])
+        np.testing.assert_allclose(np.asarray(out[:, :, 0:1]), np.asarray(ref_first), atol=1e-5)
+
+    def test_update_kv_cache(self):
+        b, h, s, d = 2, 2, 8, 4
+        k_cache = jnp.zeros((b, h, s, d))
+        v_cache = jnp.zeros((b, h, s, d))
+        k_new = jnp.ones((b, h, 2, d))
+        v_new = 2 * jnp.ones((b, h, 2, d))
+        lens = jnp.array([0, 3], jnp.int32)
+        k_cache, v_cache, new_len = update_kv_cache(k_cache, v_cache, k_new, v_new, lens)
+        np.testing.assert_array_equal(np.asarray(new_len), [2, 5])
+        assert np.asarray(k_cache)[0, 0, 0, 0] == 1 and np.asarray(k_cache)[0, 0, 2, 0] == 0
+        assert np.asarray(v_cache)[1, 0, 3, 0] == 2 and np.asarray(v_cache)[1, 0, 2, 0] == 0
+
+
+class TestNormsRope:
+    def test_rmsnorm_matches_hf_t5_layernorm_semantics(self):
+        x = _rand((4, 32), 0)
+        scale = _rand((32,), 1) * 0.1 + 1.0
+        out = rmsnorm(x, scale)
+        # HF T5LayerNorm: x / sqrt(mean(x^2) + eps) * weight  (no mean-sub)
+        ref = x / np.sqrt(np.mean(np.asarray(x) ** 2, -1, keepdims=True) + 1e-6) * np.asarray(scale)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_rmsnorm_grad(self):
+        x = _rand((4, 32), 0)
+        scale = jnp.ones((32,))
+        g = jax.grad(lambda x, s: jnp.sum(rmsnorm(x, s) ** 2), argnums=(0, 1))(x, scale)
+        assert np.isfinite(np.asarray(g[0])).all()
+
+    def test_rope_rotation_preserves_norm_and_relative(self):
+        d = 16
+        cos, sin = rope_frequencies(d, 32)
+        q = _rand((1, 2, 32, d), 0)
+        k = _rand((1, 2, 32, d), 1)
+        q2, k2 = apply_rope(q, k, cos, sin)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(q2), axis=-1),
+            np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5,
+        )
+        # relative property: dot(q_i, k_j) depends only on i-j
+        s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q2), np.asarray(k2))
+        # constant q/k vectors -> check shift invariance
+        qc = jnp.broadcast_to(q[:, :, :1], q.shape)
+        kc = jnp.broadcast_to(k[:, :, :1], k.shape)
+        q3, k3 = apply_rope(qc, kc, cos, sin)
+        s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q3), np.asarray(k3))
+        np.testing.assert_allclose(s[0, 0, 5, 3], s[0, 0, 12, 10], rtol=1e-4)
+
+    def test_mrope_sections_match_plain_rope_when_positions_equal(self):
+        d, t = 32, 8
+        pos = jnp.arange(t)[None].repeat(1, 0)
+        pos3 = jnp.stack([pos, pos, pos])  # identical t/h/w -> same as 1D rope
+        q = _rand((1, 2, t, d), 0)
+        k = _rand((1, 2, t, d), 1)
+        out_m = apply_mrope(q, k, pos3, [4, 6, 6], theta=10000.0)
+        cos, sin = rope_frequencies(d, t)
+        out_r = apply_rope(q, k, cos, sin)
+        np.testing.assert_allclose(np.asarray(out_m[0]), np.asarray(out_r[0]), atol=1e-5)
