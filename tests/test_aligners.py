@@ -1,0 +1,131 @@
+"""Aligner model tests on tiny configs: loss computes, grads flow only to the
+projector, reference-checkpoint conversion maps correctly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thinkdiff_tpu.core.config import ConfigNode
+from thinkdiff_tpu.models.aligner_clip import BlipVisionT5Decoder
+from thinkdiff_tpu.models.aligner_lvlm import MllamaT5EmbedDecoder
+from thinkdiff_tpu.core.registry import registry
+
+TINY_T5 = dict(vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+               num_decoder_layers=2, num_heads=4, dropout_rate=0.0)
+TINY_VIT = dict(hidden_size=16, intermediate_size=32, num_layers=2,
+                num_heads=4, image_size=28, patch_size=14)
+
+
+@pytest.fixture(scope="module")
+def clip_model():
+    cfg = ConfigNode({
+        "dtype": "float32", "load_pretrained": False,
+        "mm_projector_type": "mlp2x_gelu_t5_norm",
+        "layer_norm_reinit_weight_with_language_encoder": True,
+        "t5_config": TINY_T5, "vision_config": TINY_VIT,
+    })
+    return BlipVisionT5Decoder(cfg)
+
+
+@pytest.fixture(scope="module")
+def lvlm_model():
+    cfg = ConfigNode({
+        "dtype": "float32", "load_pretrained": False,
+        "mm_projector_type": "mlp2x_gelu_t5_norm",
+        "vlm_hidden_size": 24, "t5_config": TINY_T5,
+    })
+    return MllamaT5EmbedDecoder(cfg)
+
+
+def _clip_batch(b=2):
+    rng = np.random.RandomState(0)
+    return {
+        "pixel_values": jnp.array(rng.randn(b, 28, 28, 3), jnp.float32),
+        "input_ids": jnp.array(rng.randint(1, 128, (b, 6))),
+        "input_mask": jnp.ones((b, 6), jnp.int32),
+        "labels": jnp.array(rng.randint(1, 128, (b, 5))),
+    }
+
+
+def test_registry_names():
+    assert registry.get_model_class("blip-vision-t5-decoder") is BlipVisionT5Decoder
+    assert registry.get_model_class("mllama-vllm-t5-embed-decoder-2") is MllamaT5EmbedDecoder
+    assert registry.get_model_class("mllama-vllm-t5-embed-decoder-5") is not None
+
+
+def test_clip_loss_and_projector_only_grads(clip_model):
+    m = clip_model
+    batch = _clip_batch()
+    loss, grads = jax.value_and_grad(m.loss_fn)(m.trainable, m.frozen, batch)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    gnorm = jax.tree.reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0
+    )
+    assert gnorm > 0
+
+
+def test_clip_ln_reinit_from_t5_encoder(clip_model):
+    m = clip_model
+    np.testing.assert_array_equal(
+        np.asarray(m.trainable["projector"]["t5_norm"]["weight"]),
+        np.asarray(m.frozen["t5"]["encoder"]["final_norm"]["weight"]),
+    )
+
+
+def test_clip_forward_encoder_shape(clip_model):
+    m = clip_model
+    out = m.forward_encoder(np.random.randn(2, 28, 28, 3).astype(np.float32))
+    assert out.shape == (2, 5, 32)  # 4 patches + CLS -> d_model
+
+
+def test_lvlm_loss_encoder_deleted(lvlm_model):
+    m = lvlm_model
+    assert "encoder" not in m.frozen["t5"]
+    rng = np.random.RandomState(1)
+    batch = {
+        "embeds": jnp.array(rng.randn(2, 7, 24), jnp.float32),
+        "embed_mask": jnp.ones((2, 7), jnp.int32),
+        "labels": jnp.array(rng.randint(1, 128, (2, 5))),
+    }
+    loss = m.loss_fn(m.trainable, m.frozen, batch)
+    assert np.isfinite(float(loss))
+    # masked embeds affect loss
+    batch2 = dict(batch)
+    batch2["embed_mask"] = batch["embed_mask"].at[:, 3:].set(0)
+    loss2 = m.loss_fn(m.trainable, m.frozen, batch2)
+    assert abs(float(loss) - float(loss2)) > 1e-6
+
+
+def test_lvlm_generate_shapes(lvlm_model):
+    m = lvlm_model
+    out = m.generate(np.random.randn(2, 4, 24).astype(np.float32), max_new_tokens=3)
+    assert out.shape == (2, 3)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) < 128).all()
+
+
+def test_reference_projector_checkpoint_conversion(lvlm_model):
+    torch = pytest.importorskip("torch")
+    m = lvlm_model
+    # Build a reference-style Sequential state dict
+    sd = {
+        "mm_projector.0.weight": torch.randn(32, 24),
+        "mm_projector.0.bias": torch.randn(32),
+        "mm_projector.2.weight": torch.randn(32, 32),
+        "mm_projector.2.bias": torch.randn(32),
+        "mm_projector.3.weight": torch.randn(32),
+    }
+    converted = m.convert_reference_checkpoint(
+        {k: v.numpy() for k, v in sd.items()}
+    )
+    proj = converted["projector"]
+    assert proj["layer_0"]["kernel"].shape == (24, 32)
+    assert proj["layer_1"]["kernel"].shape == (32, 32)
+    assert proj["t5_norm"]["weight"].shape == (32,)
+    np.testing.assert_allclose(
+        proj["layer_0"]["kernel"], sd["mm_projector.0.weight"].numpy().T
+    )
+    m.load_trainable(converted)
+    out = m.project(m.trainable, jnp.ones((1, 2, 24)))
+    assert out.shape == (1, 2, 32)

@@ -1,0 +1,217 @@
+"""ThinkDiff-LVLM aligner: trainable MLP projector on precomputed Qwen2-VL
+hidden states -> frozen T5 decoder (encoder-less), trained to reconstruct the
+VLM's generated text.
+
+TPU-native re-design of the reference ``mllama-vllm-t5-embed-decoder-2`` and
+its inference subclass ``-5`` (reference:
+thinkdiff/models/mllama_vllm_t5_embed_decoder_2.py:387-1191):
+  - host-side text decode/re-tokenize (reference :559-575) lives in the
+    collator; the model consumes {embeds, embed_mask, labels} arrays;
+  - the T5 encoder is never instantiated for this variant (the reference
+    loads then deletes it, :703) — only decoder/shared/lm_head params exist;
+  - the ``-5`` variant's ``get_embed`` plugs a JAX Qwen2-VL generation engine
+    (thinkdiff_tpu/engines/embed_engine.py) where the reference calls its
+    forked vLLM.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from thinkdiff_tpu.core.config import ConfigNode
+from thinkdiff_tpu.core.registry import registry
+from thinkdiff_tpu.models.base import BaseModel, maybe_load_hf_weights, str_to_dtype
+from thinkdiff_tpu.models.convert import convert_t5
+from thinkdiff_tpu.models.projector import (
+    build_vision_projector, convert_projector_torch,
+)
+from thinkdiff_tpu.models.t5 import (
+    T5Config, T5ForConditionalGeneration, cross_entropy_loss, shift_right,
+)
+
+logger = logging.getLogger(__name__)
+
+# Qwen2-VL text hidden sizes (reference probes text_config/hidden_size at
+# mllama_vllm_t5_embed_decoder_2.py:423-431).
+_VLM_HIDDEN = {
+    "Qwen/Qwen2-VL-2B-Instruct": 1536,
+    "Qwen/Qwen2-VL-7B-Instruct": 3584,
+}
+
+
+@registry.register_model("mllama-vllm-t5-embed-decoder-2")
+class MllamaT5EmbedDecoder(BaseModel):
+    default_model_type = "pretrain_mllama_vllm_t5_embed_decoder_2"
+    DEFAULT_CONFIG = {
+        "mm_projector_type": "mlp2x_gelu_t5_norm",
+        "dtype": "bfloat16",
+        "max_txt_len": 128,
+        "mllama_output_embeddings_drop_rate": None,
+        "layer_norm_reinit_weight_with_language_encoder": False,
+    }
+
+    def __init__(self, cfg: Optional[ConfigNode] = None, seed: int = 0):
+        super().__init__(cfg)
+        cfg = self.cfg
+        self.dtype = str_to_dtype(cfg.get("dtype", "bfloat16"))
+        t5_over = dict(cfg.get("t5_config", {}))
+        self.t5_cfg = T5Config(**{**dict(dtype=self.dtype, dropout_rate=0.0), **t5_over})
+        self.t5 = T5ForConditionalGeneration(self.t5_cfg)
+        self.vlm_hidden = int(
+            cfg.get("vlm_hidden_size")
+            or _VLM_HIDDEN.get(
+                cfg.get("mllama_pretrained_model_name_or_path", ""), 1536
+            )
+        )
+        self.projector = build_vision_projector(
+            cfg.get("mm_projector_type", "mlp2x_gelu_t5_norm"),
+            self.t5_cfg.d_model, dtype=self.dtype,
+        )
+        self.drop_rate = cfg.get("mllama_output_embeddings_drop_rate", None)
+        self._build_params(seed)
+
+    def _build_params(self, seed: int):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(seed)
+        ids = jnp.zeros((1, 4), jnp.int32)
+        t5_vars = self.t5.init(
+            {"params": rng, "dropout": rng}, input_ids=ids, decoder_input_ids=ids
+        )
+        t5_path = cfg.get("text_pretrained_model_name_or_path", "google/flan-t5-xxl")
+        if cfg.get("load_pretrained", True):
+            sd = maybe_load_hf_weights(t5_path)
+            if sd is not None and "shared.weight" in sd:
+                t5_vars = {"params": convert_t5(sd, dtype=self.dtype)}
+                logger.info("Loaded T5 weights from %s", t5_path)
+        t5_params = dict(t5_vars["params"])
+        encoder_final_norm = None
+        if "encoder" in t5_params:
+            encoder_final_norm = t5_params["encoder"].get("final_norm", {}).get("weight")
+            # encoder deleted (reference :703) — decoder-only conditioning.
+            del t5_params["encoder"]
+        self.frozen = {"t5": t5_params}
+
+        proj_vars = self.projector.init(
+            rng, jnp.zeros((1, 1, self.vlm_hidden), self.dtype)
+        )
+        proj_params = proj_vars["params"]
+        if (cfg.get("layer_norm_reinit_weight_with_language_encoder", False)
+                and "t5_norm" in proj_params and encoder_final_norm is not None):
+            proj_params["t5_norm"]["weight"] = encoder_final_norm.astype(
+                proj_params["t5_norm"]["weight"].dtype
+            )
+        self.trainable = {"projector": proj_params}
+
+    def trainable_params(self) -> Any:
+        return self.trainable
+
+    def load_trainable(self, params: Any) -> None:
+        self.trainable = jax.tree.map(jnp.asarray, params)
+
+    def convert_reference_checkpoint(self, sd: Dict) -> Any:
+        return {"projector": convert_projector_torch(
+            {k: v for k, v in sd.items() if "mm_projector" in k})}
+
+    # -- pure compute -------------------------------------------------------
+    def project(self, trainable, embeds, rng=None):
+        """VLM hidden states (B, S, Dv) -> T5-space tokens (B, S, d_model),
+        with optional input dropout (reference :437-438)."""
+        x = embeds.astype(self.dtype)
+        if self.drop_rate and rng is not None:
+            keep = jax.random.bernoulli(rng, 1.0 - float(self.drop_rate), x.shape)
+            x = jnp.where(keep, x / (1.0 - float(self.drop_rate)), 0.0)
+        return self.projector.apply({"params": trainable["projector"]}, x)
+
+    def loss_fn(self, trainable, frozen, batch, rng=None):
+        """batch: embeds (B,S,Dv), embed_mask (B,S), labels (B,T) with -100
+        pad. Projector output conditions the T5 decoder directly
+        (reference :585-598 — ``encoder_outputs=(proj,)``)."""
+        proj = self.project(trainable, batch["embeds"], rng)
+        labels = batch["labels"]
+        logits = self.t5.apply(
+            {"params": frozen["t5"]},
+            method=self.t5.decode_with_encoder_states,
+            decoder_input_ids=shift_right(labels),
+            encoder_states=proj,
+            cross_mask=batch.get("embed_mask"),
+        )
+        return cross_entropy_loss(logits, labels)
+
+    def generate(self, embeds, embed_mask=None, max_new_tokens: int = 32):
+        """Greedy T5 decode conditioned on projected embeds (reference
+        ``generate``, :727-776). Recompute-per-step — eval utility, not the
+        serving path."""
+        proj = self.project(self.trainable, jnp.asarray(embeds))
+        b = proj.shape[0]
+        dec = jnp.zeros((b, 1), jnp.int32)  # decoder_start_token_id = 0
+
+        def apply_fn(dec_ids):
+            return self.t5.apply(
+                {"params": self.frozen["t5"]},
+                method=self.t5.decode_with_encoder_states,
+                decoder_input_ids=dec_ids, encoder_states=proj,
+                cross_mask=embed_mask,
+            )
+
+        for _ in range(max_new_tokens):
+            logits = apply_fn(dec)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            dec = jnp.concatenate([dec, nxt[:, None]], axis=1)
+        return dec[:, 1:]
+
+    def get_embed_from_hidden(self, hidden_states, rng=None):
+        """Aligned conditioning tokens from VLM hidden states — the tail of
+        the reference's ``get_embed`` (reference :1017-1118) once generation
+        has produced hidden states."""
+        return self.project(self.trainable, jnp.asarray(hidden_states), rng)
+
+
+@registry.register_model("mllama-vllm-t5-embed-decoder-5")
+class MllamaT5EmbedDecoderWithEngine(MllamaT5EmbedDecoder):
+    """Variant that owns an in-process VLM generation engine for end-to-end
+    inference (reference ``_5``, :779-1191). The engine is attached lazily so
+    training-only uses never build Qwen2-VL."""
+
+    default_model_type = "pretrain_mllama_vllm_t5_embed_decoder_5"
+
+    def __init__(self, cfg=None, seed: int = 0):
+        super().__init__(cfg, seed)
+        self._engine = None
+
+    @property
+    def engine(self):
+        if self._engine is None:
+            from thinkdiff_tpu.engines.embed_engine import EmbedEngine
+
+            self._engine = EmbedEngine.from_config(self.cfg)
+        return self._engine
+
+    def get_embed(self, samples, embedding_type: str = "output_embed",
+                  max_new_tokens: int = 128, rng=None):
+        """images+prompts -> VLM generate -> hidden-state tap -> projector.
+
+        embedding_type in {both, input_embed, input_no_system, output_embed}
+        (reference :1017-1118; input_no_system skips the first 14 system
+        prompt tokens, :1107-1109).
+        """
+        result = self.engine.generate(samples, max_new_tokens=max_new_tokens)
+        conds = []
+        for i in range(len(result.hidden_states)):
+            inp = result.prompt_hidden_states[i]
+            out = result.hidden_states[i]
+            if embedding_type == "both":
+                hid = jnp.concatenate([inp, out], axis=0)
+            elif embedding_type == "input_embed":
+                hid = inp
+            elif embedding_type == "input_no_system":
+                hid = inp[self.engine.num_system_tokens:]
+            elif embedding_type == "output_embed":
+                hid = out
+            else:
+                raise ValueError(embedding_type)
+            conds.append(self.project(self.trainable, hid[None], rng)[0])
+        return conds, result

@@ -1,0 +1,359 @@
+"""T5 encoder-decoder in flax.linen, numerics-compatible with HF
+``T5ForConditionalGeneration`` (flan-t5 family) so released checkpoints
+convert losslessly.
+
+The two ThinkDiff-specific behaviors live here as first-class API instead of
+the reference's subclass monkey-patching
+(reference: thinkdiff/models/blip_vision_t5_decoder.py:71-227):
+
+  - ``extra_encoder_states`` / ``extra_attention_mask``: extra embedding
+    tokens (projected vision/VLM features) concatenated BEFORE the text
+    encoder states feeding decoder cross-attention
+    (reference blip_vision_t5_decoder.py:186-189).
+  - encoder-less decode: ``decode_with_encoder_states`` accepts arbitrary
+    encoder states directly (the LVLM variant deletes the T5 encoder —
+    reference mllama_vllm_t5_embed_decoder_2.py:703, 585-598).
+
+T5 quirks preserved for parity: NO 1/sqrt(d) attention scaling, relative
+position bias computed once and shared across layers, RMS (T5Layer) norms,
+gated-gelu FFN for flan checkpoints, untied lm_head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from thinkdiff_tpu.ops.flash_attention import flash_attention, mha_reference
+from thinkdiff_tpu.ops.norms import rmsnorm
+
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 4096
+    d_kv: int = 64
+    d_ff: int = 10240
+    num_layers: int = 24
+    num_decoder_layers: int = 24
+    num_heads: int = 64
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "gated-gelu"  # flan-t5; "relu" for t5v1.0
+    tie_word_embeddings: bool = False
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @property
+    def is_gated(self) -> bool:
+        return self.feed_forward_proj.startswith("gated-")
+
+    @property
+    def act_fn(self):
+        act = self.feed_forward_proj.replace("gated-", "")
+        if act == "gelu":
+            # HF uses gelu_new (tanh approximation) for flan-t5.
+            return lambda x: jax.nn.gelu(x, approximate=True)
+        if act == "relu":
+            return jax.nn.relu
+        if act == "silu":
+            return jax.nn.silu
+        raise ValueError(act)
+
+    @classmethod
+    def tiny(cls, **kw):
+        base = dict(vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                    num_decoder_layers=2, num_heads=4, dropout_rate=0.0)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def flan_t5_xxl(cls, **kw):
+        return cls(**{**dict(dtype=jnp.bfloat16), **kw})
+
+
+def relative_position_bucket(relative_position, bidirectional: bool,
+                             num_buckets: int, max_distance: int):
+    """HF T5 bucket function (T5Attention._relative_position_bucket)."""
+    ret = jnp.zeros_like(relative_position)
+    n = relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n > 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = -jnp.minimum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class T5LayerNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        return rmsnorm(x.astype(self.dtype), weight.astype(self.dtype), self.eps)
+
+
+class T5Attention(nn.Module):
+    cfg: T5Config
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, hidden, kv=None, position_bias=None, mask=None,
+                 deterministic=True):
+        """hidden: (B, Tq, D); kv: cross-attn source (B, Tk, D) or None.
+
+        mask: (B, Tk) 1/0 validity of keys; position_bias additive
+        (1|B, H, Tq, Tk). Returns (B, Tq, D).
+        """
+        cfg = self.cfg
+        inner = cfg.num_heads * cfg.d_kv
+        dense = lambda name: nn.Dense(
+            inner, use_bias=False, name=name, dtype=cfg.dtype,
+            param_dtype=cfg.dtype,
+        )
+        source = hidden if kv is None else kv
+        q = dense("q")(hidden)
+        k = dense("k")(source)
+        v = dense("v")(source)
+
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(b, tq, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+        k = k.reshape(b, tk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+        v = v.reshape(b, tk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+
+        bias = position_bias
+        if mask is not None:
+            key_mask = (1.0 - mask.astype(jnp.float32)) * NEG_INF
+            key_mask = key_mask[:, None, None, :]
+            bias = key_mask if bias is None else bias + key_mask
+        if bias is not None:
+            bias = bias.astype(jnp.float32)
+
+        # T5 has no 1/sqrt(d) scaling -> sm_scale=1.0
+        out = flash_attention(q, k, v, bias, self.causal, 1.0)
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
+        return nn.Dense(cfg.d_model, use_bias=False, name="o",
+                        dtype=cfg.dtype, param_dtype=cfg.dtype)(out)
+
+
+class T5RelativeBias(nn.Module):
+    cfg: T5Config
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, q_len: int, k_len: int):
+        cfg = self.cfg
+        emb = self.param(
+            "rel_embedding", nn.initializers.normal(1.0),
+            (cfg.relative_attention_num_buckets, cfg.num_heads), cfg.dtype,
+        )
+        ctx = jnp.arange(q_len)[:, None]
+        mem = jnp.arange(k_len)[None, :]
+        buckets = relative_position_bucket(
+            mem - ctx, self.bidirectional,
+            cfg.relative_attention_num_buckets,
+            cfg.relative_attention_max_distance,
+        )
+        bias = emb[buckets]  # (Tq, Tk, H)
+        return bias.transpose(2, 0, 1)[None]  # (1, H, Tq, Tk)
+
+
+class T5FFN(nn.Module):
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.cfg
+        dense = lambda feat, name: nn.Dense(
+            feat, use_bias=False, name=name, dtype=cfg.dtype,
+            param_dtype=cfg.dtype,
+        )
+        if cfg.is_gated:
+            gate = cfg.act_fn(dense(cfg.d_ff, "wi_0")(x))
+            up = dense(cfg.d_ff, "wi_1")(x)
+            h = gate * up
+        else:
+            h = cfg.act_fn(dense(cfg.d_ff, "wi")(x))
+        h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
+        return dense(cfg.d_model, "wo")(h)
+
+
+class T5Block(nn.Module):
+    cfg: T5Config
+    causal: bool = False
+    has_cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, encoder_states=None, self_bias=None,
+                 self_mask=None, cross_mask=None, deterministic=True):
+        cfg = self.cfg
+        h = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
+                        name="self_attn_norm")(x)
+        h = T5Attention(cfg, causal=self.causal, name="self_attn")(
+            h, position_bias=self_bias, mask=self_mask,
+            deterministic=deterministic,
+        )
+        x = x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
+        if self.has_cross:
+            h = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
+                            name="cross_attn_norm")(x)
+            h = T5Attention(cfg, causal=False, name="cross_attn")(
+                h, kv=encoder_states, mask=cross_mask,
+                deterministic=deterministic,
+            )
+            x = x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
+        h = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
+                        name="ffn_norm")(x)
+        h = T5FFN(cfg, name="ffn")(h, deterministic=deterministic)
+        return x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
+
+
+class T5Encoder(nn.Module):
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(self, input_embeds, mask=None, deterministic=True):
+        cfg = self.cfg
+        bias = T5RelativeBias(cfg, bidirectional=True, name="rel_bias")(
+            input_embeds.shape[1], input_embeds.shape[1]
+        )
+        x = nn.Dropout(cfg.dropout_rate)(input_embeds, deterministic=deterministic)
+        for i in range(cfg.num_layers):
+            x = T5Block(cfg, causal=False, has_cross=False, name=f"block_{i}")(
+                x, self_bias=bias, self_mask=mask, deterministic=deterministic
+            )
+        x = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
+                        name="final_norm")(x)
+        return nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+
+
+class T5Decoder(nn.Module):
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(self, input_embeds, encoder_states, self_mask=None,
+                 cross_mask=None, deterministic=True):
+        cfg = self.cfg
+        t = input_embeds.shape[1]
+        bias = T5RelativeBias(cfg, bidirectional=False, name="rel_bias")(t, t)
+        x = nn.Dropout(cfg.dropout_rate)(input_embeds, deterministic=deterministic)
+        for i in range(cfg.num_decoder_layers):
+            x = T5Block(cfg, causal=True, has_cross=True, name=f"block_{i}")(
+                x, encoder_states=encoder_states, self_bias=bias,
+                self_mask=self_mask, cross_mask=cross_mask,
+                deterministic=deterministic,
+            )
+        x = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
+                        name="final_norm")(x)
+        return nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+
+
+class T5ForConditionalGeneration(nn.Module):
+    """Full seq2seq stack + the ThinkDiff extra-embeds/encoder-less modes."""
+
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.shared = nn.Embed(cfg.vocab_size, cfg.d_model, name="shared",
+                               param_dtype=cfg.dtype, dtype=cfg.dtype)
+        self.encoder = T5Encoder(cfg, name="encoder")
+        self.decoder = T5Decoder(cfg, name="decoder")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    name="lm_head", dtype=cfg.dtype,
+                                    param_dtype=cfg.dtype)
+
+    def encode(self, input_ids=None, attention_mask=None, input_embeds=None,
+               extra_encoder_states=None, extra_attention_mask=None,
+               deterministic=True):
+        """Returns (encoder_states, cross_mask).
+
+        ``extra_encoder_states`` (projected image/VLM tokens) are concatenated
+        BEFORE the text states, matching the reference concat order
+        (reference blip_vision_t5_decoder.py:186-189,425-436).
+        """
+        if input_embeds is None:
+            input_embeds = self.shared(input_ids)
+        states = self.encoder(input_embeds, mask=attention_mask,
+                              deterministic=deterministic)
+        mask = attention_mask
+        if mask is None:
+            mask = jnp.ones(states.shape[:2], jnp.int32)
+        if extra_encoder_states is not None:
+            extra = extra_encoder_states.astype(states.dtype)
+            if extra_attention_mask is None:
+                extra_attention_mask = jnp.ones(extra.shape[:2], jnp.int32)
+            states = jnp.concatenate([extra, states], axis=1)
+            mask = jnp.concatenate([extra_attention_mask, mask], axis=1)
+        return states, mask
+
+    def decode_with_encoder_states(self, decoder_input_ids, encoder_states,
+                                   cross_mask=None, decoder_mask=None,
+                                   deterministic=True):
+        """Encoder-less path: any (B, S, D) states can condition the decoder
+        (reference mllama_vllm_t5_embed_decoder_2.py:585-598 passes
+        ``encoder_outputs=(proj,)``)."""
+        dec_embeds = self.shared(decoder_input_ids)
+        hidden = self.decoder(
+            dec_embeds, encoder_states.astype(dec_embeds.dtype),
+            self_mask=decoder_mask, cross_mask=cross_mask,
+            deterministic=deterministic,
+        )
+        if self.cfg.tie_word_embeddings:
+            hidden = hidden * (self.cfg.d_model ** -0.5)
+            logits = self.shared.attend(hidden)
+        else:
+            logits = self.lm_head(hidden)
+        return logits
+
+    def __call__(self, input_ids=None, attention_mask=None,
+                 decoder_input_ids=None, input_embeds=None,
+                 extra_encoder_states=None, extra_attention_mask=None,
+                 decoder_mask=None, deterministic=True):
+        states, mask = self.encode(
+            input_ids, attention_mask, input_embeds,
+            extra_encoder_states, extra_attention_mask, deterministic,
+        )
+        return self.decode_with_encoder_states(
+            decoder_input_ids, states, cross_mask=mask,
+            decoder_mask=decoder_mask, deterministic=deterministic,
+        )
+
+
+def shift_right(labels, decoder_start_token_id: int = 0, pad_id: int = 0):
+    """HF _shift_right: decoder inputs = labels shifted right, -100 -> pad."""
+    shifted = jnp.pad(labels, ((0, 0), (1, 0)),
+                      constant_values=decoder_start_token_id)[:, :-1]
+    return jnp.where(shifted == -100, pad_id, shifted)
+
+
+def cross_entropy_loss(logits, labels, ignore_index: int = -100):
+    """Token-mean CE matching torch F.cross_entropy(ignore_index=-100)."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    loss = -jnp.sum(token_ll * valid) / jnp.maximum(jnp.sum(valid), 1)
+    return loss

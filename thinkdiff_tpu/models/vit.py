@@ -1,0 +1,155 @@
+"""CLIP-style vision transformer, covering both HF ``Blip2VisionModel``
+(the frozen image encoder of ThinkDiff-CLIP — reference
+thinkdiff/models/blip_vision_t5_decoder.py:383-391 uses
+``Salesforce/blip2-flan-t5-xxl``'s vision tower) and ``CLIPVisionModel``.
+
+Differences captured by config flags:
+  - BLIP-2: no pre-layernorm, fused-qkv checkpoint (converter splits it),
+    gelu MLP; CLIP: pre-layernorm, quick_gelu.
+Attention runs through the shared flash-attention op; the sequence is short
+(257 for 224px/patch14) so the win is mostly fusion, not memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from thinkdiff_tpu.ops.flash_attention import flash_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int = 1408
+    intermediate_size: int = 6144
+    num_layers: int = 39
+    num_heads: int = 16
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_act: str = "gelu"          # "gelu" | "quick_gelu"
+    layer_norm_eps: float = 1e-6
+    use_pre_norm: bool = False        # CLIP True, BLIP-2 False
+    patch_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def num_positions(self) -> int:
+        return (self.image_size // self.patch_size) ** 2 + 1
+
+    @property
+    def act_fn(self):
+        if self.hidden_act == "quick_gelu":
+            return lambda x: x * jax.nn.sigmoid(1.702 * x)
+        return lambda x: jax.nn.gelu(x, approximate=False)
+
+    @classmethod
+    def blip2_vision(cls, **kw):
+        """Blip2VisionConfig defaults (blip2-flan-t5-xxl vision tower)."""
+        return cls(**kw)
+
+    @classmethod
+    def clip_vit_l(cls, **kw):
+        base = dict(hidden_size=1024, intermediate_size=4096, num_layers=24,
+                    num_heads=16, patch_size=14, hidden_act="quick_gelu",
+                    layer_norm_eps=1e-5, use_pre_norm=True)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def tiny(cls, **kw):
+        base = dict(hidden_size=32, intermediate_size=64, num_layers=2,
+                    num_heads=4, image_size=28, patch_size=14)
+        base.update(kw)
+        return cls(**base)
+
+
+class ViTAttention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        d = cfg.hidden_size
+        head_dim = d // cfg.num_heads
+        dense = lambda name: nn.Dense(d, use_bias=True, name=name,
+                                      dtype=cfg.dtype, param_dtype=cfg.dtype)
+        b, t, _ = x.shape
+        q = dense("q_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = dense("k_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = dense("v_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
+        out = flash_attention(q, k, v, None, False, head_dim ** -0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return dense("out_proj")(out)
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name,
+                                       dtype=cfg.dtype, param_dtype=cfg.dtype)
+        x = x + ViTAttention(cfg, name="attn")(ln("norm1")(x))
+        h = ln("norm2")(x)
+        h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
+                     param_dtype=cfg.dtype, name="mlp_fc1")(h)
+        h = cfg.act_fn(h)
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                     param_dtype=cfg.dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, pixel_values, interpolate_pos: bool = False):
+        """pixel_values: (B, H, W, C) float, already normalized.
+        Returns (B, 1 + H/P * W/P, hidden) last hidden states (post-norm),
+        matching HF Blip2VisionModel.last_hidden_state."""
+        cfg = self.cfg
+        b = pixel_values.shape[0]
+        x = nn.Conv(
+            cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+            use_bias=cfg.patch_bias, name="patch_embed",
+            dtype=cfg.dtype, param_dtype=cfg.dtype,
+        )(pixel_values.astype(cfg.dtype))
+        x = x.reshape(b, -1, cfg.hidden_size)
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02),
+            (1, 1, cfg.hidden_size), cfg.dtype,
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, cfg.hidden_size)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, cfg.num_positions, cfg.hidden_size), cfg.dtype,
+        )
+        x = x + pos[:, : x.shape[1]]
+        if cfg.use_pre_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="pre_norm",
+                             dtype=cfg.dtype, param_dtype=cfg.dtype)(x)
+        for i in range(cfg.num_layers):
+            x = ViTBlock(cfg, name=f"block_{i}")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="post_norm",
+                         dtype=cfg.dtype, param_dtype=cfg.dtype)(x)
+        return x
+
+
+def vision_downsample(tokens, factor: int):
+    """CLS-preserving bilinear spatial pool of the patch grid
+    (reference blip_vision_t5_decoder.py:393-410): keep token 0, reshape the
+    rest to (g, g), bilinear-resize to (g/f, g/f)."""
+    b, t, d = tokens.shape
+    g = int(round((t - 1) ** 0.5))
+    assert g * g == t - 1, f"non-square grid {t - 1}"
+    cls_tok, grid = tokens[:, :1], tokens[:, 1:]
+    grid = grid.reshape(b, g, g, d)
+    new_g = g // factor
+    grid = jax.image.resize(grid, (b, new_g, new_g, d), method="bilinear")
+    return jnp.concatenate([cls_tok, grid.reshape(b, new_g * new_g, d)], axis=1)
