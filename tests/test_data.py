@@ -1,0 +1,212 @@
+"""Data layer: tar shard round trip, wids random access, collator golden
+padding/masking semantics, pipeline shuffling."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from thinkdiff_tpu.data.collators import (
+    CaptionSplitCollator, EmbedShardCollator, IGNORE_INDEX,
+    LLAVA_BRIEF_INSTRUCTIONS, WidsProcessCollator, biased_random_split_string,
+    random_split_string,
+)
+from thinkdiff_tpu.data.pipeline import (
+    IterLoader, MapDatasetLoader, PrefetchLoader, WebDatasetPipeline,
+)
+from thinkdiff_tpu.data.tario import (
+    ShardWriter, brace_expand, tar_sample_iterator, write_wids_index,
+)
+from thinkdiff_tpu.data.wids_reader import ChunkedSampler, ShardListDataset
+
+
+class DummyTokenizer:
+    """Whitespace tokenizer: token id = len(word) + 1, pad 0."""
+
+    pad_token_id = 0
+
+    def encode(self, text, add_special_tokens=True):
+        ids = [min(len(w) + 1, 99) for w in text.split() if w]
+        return ids + [1] if add_special_tokens else ids
+
+    def decode(self, ids):
+        return " ".join("x" * max(i - 1, 1) for i in ids)
+
+
+def _make_shards(tmp_path, n_shards=2, per_shard=5):
+    from PIL import Image
+
+    paths = []
+    idx = 0
+    for s in range(n_shards):
+        path = str(tmp_path / f"{s:06d}.tar")
+        with ShardWriter(path.replace(f"{s:06d}", "%06d"), start_shard=s) as w:
+            w.pattern = str(tmp_path / "%06d.tar")
+            for _ in range(per_shard):
+                img = Image.fromarray(
+                    (np.random.RandomState(idx).rand(8, 8, 3) * 255).astype("uint8")
+                )
+                w.write({
+                    "__key__": f"{idx:08d}",
+                    "jpg": img,
+                    "json": {"caption": f"a photo of thing number {idx}"},
+                })
+                idx += 1
+        paths.append(path)
+    return paths
+
+
+def test_brace_expand():
+    assert brace_expand("/x/{000000..000002}.tar") == [
+        "/x/000000.tar", "/x/000001.tar", "/x/000002.tar"
+    ]
+    assert brace_expand("/plain.tar") == ["/plain.tar"]
+
+
+def test_shard_roundtrip_and_wids_index(tmp_path):
+    paths = _make_shards(tmp_path)
+    samples = list(tar_sample_iterator(paths[0], decode=True))
+    assert len(samples) == 5
+    assert samples[0]["json"]["caption"].startswith("a photo")
+    assert samples[0]["jpg"].size == (8, 8)
+
+    index = write_wids_index(paths, str(tmp_path / "index.json"))
+    assert index["__kind__"] == "wids-shard-index-v1"
+    assert [s["nsamples"] for s in index["shardlist"]] == [5, 5]
+
+    ds = ShardListDataset(str(tmp_path / "index.json"))
+    assert len(ds) == 10
+    s7 = ds[7]
+    assert s7["__key__"] == "00000007"
+    assert ds[-1]["__key__"] == "00000009"
+
+
+def test_pth_field_torch_interchange(tmp_path):
+    torch = pytest.importorskip("torch")
+    emb = np.random.randn(6, 4).astype(np.float32)
+    with ShardWriter(str(tmp_path / "%06d.tar")) as w:
+        w.write({"__key__": "k0", "model.norm.output_embed.pth": emb,
+                 "json": {"output_token_ids": [1, 2, 3]}})
+    (sample,) = tar_sample_iterator(str(tmp_path / "000000.tar"), decode=True)
+    np.testing.assert_allclose(sample["model.norm.output_embed.pth"], emb)
+
+
+def test_chunked_sampler_coverage():
+    s = ChunkedSampler(25, chunksize=10, shuffle=True, seed=1)
+    idxs = list(s)
+    assert sorted(idxs) == list(range(25))
+    s2 = ChunkedSampler(24, chunksize=10, shuffle=True, seed=1, rank=1, world_size=2)
+    idxs2 = list(s2)
+    assert len(idxs2) == 12 and all(0 <= i < 24 for i in idxs2)
+
+
+def test_random_split_string_bounds():
+    import random as _r
+
+    rng = _r.Random(0)
+    for _ in range(50):
+        a, b = random_split_string("one two three four five", rng)
+        assert a and b and (a + " " + b) == "one two three four five"
+    assert random_split_string("single") == ("", "single")
+    a, b = biased_random_split_string("w1 w2 w3 w4 w5 w6 w7 w8")
+    assert (a + " " + b).split() == ["w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8"]
+
+
+def test_caption_split_collator_static_shapes():
+    tok = DummyTokenizer()
+    coll = CaptionSplitCollator(tok, max_txt_len=8, seed=0)
+    samples = [
+        {"image": np.zeros((4, 4, 3), np.float32), "answer": "a short caption here"},
+        {"image": np.ones((4, 4, 3), np.float32), "answer": "tiny"},
+    ]
+    batch = coll(samples)
+    assert batch["pixel_values"].shape == (2, 4, 4, 3)
+    assert batch["input_ids"].shape == (2, 8)
+    assert batch["labels"].shape == (2, 8)
+    # pad positions must be IGNORE_INDEX
+    assert (batch["labels"][batch["labels"] != IGNORE_INDEX] > 0).all()
+    # single-word caption -> empty first half -> mask reflects that
+    assert batch["input_mask"][1].sum() <= 1  # just special token or empty
+
+
+def test_embed_collator_random_split_semantics():
+    tok = DummyTokenizer()
+    decoded = []
+
+    def vlm_decode(ids):
+        decoded.append(list(ids))
+        return " ".join("tok" for _ in ids)
+
+    coll = EmbedShardCollator(
+        tok, vlm_decode, use_output_embed=True, random_split_output_embed=True,
+        output_embed_max_split_len=4, max_txt_len=6, seed=0,
+    )
+    emb = np.arange(60, dtype=np.float32).reshape(10, 6)
+    samples = [{
+        "model.norm.output_embed.pth": emb,
+        "json": {"output_token_ids": list(range(100, 110))},
+    }]
+    batch = coll(samples)
+    assert batch["embeds"].shape == (1, 4, 6)
+    assert batch["labels"].shape == (1, 6)
+    n_cond = int(batch["embed_mask"][0].sum())
+    assert 1 <= n_cond <= 4
+    # condition embeds are the PREFIX, target ids are the REMAINDER
+    np.testing.assert_allclose(batch["embeds"][0, :n_cond], emb[:n_cond])
+    assert decoded[0] == list(range(100 + n_cond, 110))
+
+
+def test_embed_collator_plain_truncate():
+    tok = DummyTokenizer()
+    coll = EmbedShardCollator(
+        tok, lambda ids: " ".join("t" for _ in ids),
+        random_split_output_embed=False, output_embed_max_len=4, max_txt_len=6,
+    )
+    emb = np.random.randn(10, 6).astype(np.float32)
+    batch = coll([{
+        "norm.output_embed.pth": emb,
+        "json": {"output_token_ids": list(range(10))},
+    }])
+    assert batch["embeds"].shape == (1, 4, 6)
+    np.testing.assert_allclose(batch["embeds"][0], emb[:4])
+    assert batch["embed_mask"][0].sum() == 4
+
+
+def test_wids_process_collator():
+    coll = WidsProcessCollator(seed=0)
+    from PIL import Image
+
+    img = Image.new("RGB", (8, 8))
+    out = coll([{"jpg": img, "json": {"caption": "c"}, "__key__": "k1"}])
+    assert out["answers"][0] in LLAVA_BRIEF_INSTRUCTIONS
+    assert out["filenames"] == ["k1"]
+    assert len(LLAVA_BRIEF_INSTRUCTIONS) == 16
+
+
+def test_webdataset_pipeline_batches(tmp_path):
+    paths = _make_shards(tmp_path, n_shards=2, per_shard=6)
+    tok = DummyTokenizer()
+    coll = CaptionSplitCollator(tok, max_txt_len=8, seed=0)
+
+    def map_fn(s):
+        return {"image": np.asarray(s["jpg"], np.float32) / 255.0,
+                "answer": s["json"]["caption"]}
+
+    pipe = WebDatasetPipeline(
+        str(tmp_path / "{000000..000001}.tar"), resample=False,
+        shuffle_buffer=4, map_fns=[map_fn], batch_size=4, collator=coll,
+    )
+    batches = list(pipe)
+    assert len(batches) == 3
+    assert batches[0]["pixel_values"].shape == (4, 8, 8, 3)
+
+    # IterLoader wraps epochs infinitely
+    pipe2 = WebDatasetPipeline(
+        str(tmp_path / "{000000..000001}.tar"), resample=False,
+        map_fns=[map_fn], batch_size=4, collator=coll,
+    )
+    it = IterLoader(PrefetchLoader(pipe2))
+    got = [next(it) for _ in range(7)]
+    assert len(got) == 7

@@ -1,0 +1,188 @@
+"""Registry dataset builders (reference:
+thinkdiff/datasets/builders/image_text_pair_builder.py:12-143).
+
+A builder turns its config section into a ``DatasetBundle`` that the runner
+asks for batched loaders. Tokenizers are injected by the task after the model
+is built (tokenization is collator-side here, see collators.py docstring).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Optional
+
+from thinkdiff_tpu.core.config import ConfigNode
+from thinkdiff_tpu.core.registry import registry
+from thinkdiff_tpu.data.collators import (
+    CaptionSplitCollator, EmbedShardCollator, WidsProcessCollator,
+)
+from thinkdiff_tpu.data.pipeline import (
+    IterLoader, MapDatasetLoader, PrefetchLoader, WebDatasetPipeline,
+)
+from thinkdiff_tpu.data.processors import build_processor
+from thinkdiff_tpu.data.wids_reader import ChunkedSampler, ShardListDataset
+
+logger = logging.getLogger(__name__)
+
+
+class DatasetBundle:
+    """One split's data source + collator wiring."""
+
+    def __init__(self, make_loader: Callable[..., Any], is_iterable: bool,
+                 set_tokenizers: Optional[Callable] = None,
+                 batch_size: Optional[int] = None):
+        self._make_loader = make_loader
+        self.is_iterable = is_iterable
+        self._set_tokenizers = set_tokenizers
+        self.batch_size = batch_size
+
+    def set_tokenizers(self, t5_tokenizer=None, vlm_decode_fn=None):
+        if self._set_tokenizers:
+            self._set_tokenizers(t5_tokenizer, vlm_decode_fn)
+
+    def get_loader(self, batch_size: Optional[int] = None, rank: int = 0,
+                   world_size: int = 1, seed: int = 0, epoch: int = 0):
+        return self._make_loader(
+            batch_size=batch_size or self.batch_size, rank=rank,
+            world_size=world_size, seed=seed, epoch=epoch,
+        )
+
+
+class BaseDatasetBuilder:
+    DEFAULT_CONFIG: Dict[str, Any] = {}
+
+    def __init__(self, cfg: Optional[ConfigNode] = None):
+        self.config = cfg if cfg is not None else ConfigNode()
+
+    @classmethod
+    def default_config_path(cls, type: str = "default") -> Optional[str]:
+        return None
+
+    def build_datasets(self) -> Dict[str, DatasetBundle]:
+        return {"train": self.build()}
+
+    def build(self) -> DatasetBundle:
+        raise NotImplementedError
+
+    def _vis_processor(self, split: str = "train"):
+        vp_cfg = (self.config.get("vis_processor", {}) or {}).get(split)
+        return build_processor(vp_cfg) if vp_cfg else None
+
+    def _text_processor(self, split: str = "train"):
+        tp_cfg = (self.config.get("text_processor", {}) or {}).get(split)
+        return build_processor(tp_cfg) if tp_cfg else None
+
+
+@registry.register_builder("cc_sbu")
+class CCSBUBuilder(BaseDatasetBuilder):
+    """Image-caption tar shards -> caption-split batches
+    (reference image_text_pair_builder.py:12-41, cc_sbu_dataset.py:11-25)."""
+
+    DEFAULT_CONFIG = {
+        "vis_processor": {"train": {"name": "blip2_image_train", "image_size": 224}},
+        "text_processor": {"train": {"name": "blip_caption"}},
+    }
+
+    def build(self) -> DatasetBundle:
+        cfg = self.config
+        storage = cfg.build_info.storage
+        vis_proc = self._vis_processor()
+        text_proc = self._text_processor()
+        state: Dict[str, Any] = {"t5_tok": None}
+
+        def map_fn(sample):
+            img = sample.get("jpg") or sample.get("png")
+            if img is None or "json" not in sample:
+                return None
+            caption = sample["json"].get("caption", "")
+            if text_proc:
+                caption = text_proc(caption)
+            return {
+                "image": vis_proc(img) if vis_proc else img,
+                "answer": caption,
+            }
+
+        def make_loader(batch_size, rank, world_size, seed, epoch):
+            assert state["t5_tok"] is not None, "tokenizer not injected"
+            collator = CaptionSplitCollator(
+                state["t5_tok"], max_txt_len=int(cfg.get("max_txt_len", 128)),
+            )
+            pipe = WebDatasetPipeline(
+                storage, resample=True, shuffle_buffer=1000,
+                map_fns=[map_fn], batch_size=batch_size, collator=collator,
+                seed=seed + epoch, rank=rank, world_size=world_size,
+            )
+            return PrefetchLoader(pipe)
+
+        def set_tok(t5_tok, vlm_decode):
+            state["t5_tok"] = t5_tok
+
+        return DatasetBundle(make_loader, is_iterable=True,
+                             set_tokenizers=set_tok,
+                             batch_size=cfg.get("batch_size"))
+
+
+@registry.register_builder("cc_sbu_mllama_vllm_process_wids")
+class CCSBUWidsProcessBuilder(BaseDatasetBuilder):
+    """Indexed shards for embedding precompute
+    (reference image_text_pair_builder.py:76-107)."""
+
+    def build(self) -> DatasetBundle:
+        cfg = self.config
+        index_path = cfg.build_info.storage
+        vis_proc = self._vis_processor()
+
+        def make_loader(batch_size, rank, world_size, seed, epoch):
+            dataset = ShardListDataset(index_path, decode=True)
+            sampler = ChunkedSampler(
+                len(dataset), chunksize=1000, shuffle=True, seed=seed,
+                rank=rank, world_size=world_size,
+            )
+            sampler.set_epoch(epoch)
+            collator = WidsProcessCollator(vis_proc, seed=seed)
+            return MapDatasetLoader(dataset, sampler, batch_size, collator)
+
+        return DatasetBundle(make_loader, is_iterable=False,
+                             batch_size=cfg.get("batch_size"))
+
+
+@registry.register_builder("llava_instruct_mllama_embed_2")
+class LlavaInstructEmbedBuilder(BaseDatasetBuilder):
+    """Precomputed-embedding shards -> LVLM aligner batches
+    (reference image_text_pair_builder.py:111-143)."""
+
+    def build(self) -> DatasetBundle:
+        cfg = self.config
+        build_info = cfg.build_info
+        storage = build_info.storage
+        state: Dict[str, Any] = {"t5_tok": None, "vlm_decode": None}
+
+        def make_loader(batch_size, rank, world_size, seed, epoch):
+            assert state["t5_tok"] is not None, "tokenizers not injected"
+            collator = EmbedShardCollator(
+                state["t5_tok"], state["vlm_decode"],
+                use_input_embed=bool(build_info.get("use_input_embed", False)),
+                use_output_embed=bool(build_info.get("use_output_embed", True)),
+                random_split_output_embed=bool(
+                    build_info.get("random_split_output_embed", True)),
+                input_embed_max_len=int(build_info.get("input_embed_max_len", 576)),
+                output_embed_max_len=int(build_info.get("output_embed_max_len", 256)),
+                output_embed_max_split_len=int(
+                    build_info.get("output_embed_max_split_len", 128)),
+                max_txt_len=int(cfg.get("max_txt_len", 128)),
+                seed=seed,
+            )
+            pipe = WebDatasetPipeline(
+                storage, resample=True, shuffle_buffer=1000,
+                batch_size=batch_size, collator=collator,
+                seed=seed + epoch, rank=rank, world_size=world_size,
+            )
+            return PrefetchLoader(pipe)
+
+        def set_tok(t5_tok, vlm_decode):
+            state["t5_tok"] = t5_tok
+            state["vlm_decode"] = vlm_decode
+
+        return DatasetBundle(make_loader, is_iterable=True,
+                             set_tokenizers=set_tok,
+                             batch_size=cfg.get("batch_size"))

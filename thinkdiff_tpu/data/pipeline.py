@@ -1,0 +1,236 @@
+"""Streaming WebDataset pipeline + loaders.
+
+Replaces the reference's wds.DataPipeline / DataLoader(num_workers=N) stack
+(reference: thinkdiff/datasets/datasets/cc_sbu_dataset.py:11-25,
+dataloader_utils.py:15-162). Process-pool workers are unnecessary here: IO +
+JPEG decode run in a small thread pool (PIL releases the GIL for decode), and
+device transfer overlaps compute via a double-buffered prefetcher
+(the reference's PrefetchLoader CUDA streams -> plain ``jax.device_put``
+which is already async).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import random
+import threading
+import time
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from thinkdiff_tpu.data.tario import brace_expand, tar_sample_iterator
+
+
+class WebDatasetPipeline:
+    """shards -> samples -> shuffle buffer -> map -> batches (collated)."""
+
+    def __init__(
+        self,
+        urls: Any,
+        *,
+        resample: bool = True,
+        shuffle_buffer: int = 1000,
+        decode: bool = True,
+        map_fns: Sequence[Callable] = (),
+        batch_size: Optional[int] = None,
+        collator: Optional[Callable] = None,
+        seed: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
+        epoch_samples: Optional[int] = None,
+    ):
+        if isinstance(urls, str):
+            urls = brace_expand(urls)
+        self.urls = list(urls)
+        self.resample = resample
+        self.shuffle_buffer = shuffle_buffer
+        self.decode = decode
+        self.map_fns = list(map_fns)
+        self.batch_size = batch_size
+        self.collator = collator
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+        self.epoch_samples = epoch_samples
+
+    def _shard_iter(self, rng: random.Random) -> Iterator[str]:
+        if self.resample:
+            while True:
+                yield rng.choice(self.urls)
+        else:
+            shards = [u for i, u in enumerate(self.urls)
+                      if i % self.world_size == self.rank]
+            rng.shuffle(shards)
+            yield from shards
+
+    def _sample_iter(self) -> Iterator[Dict[str, Any]]:
+        rng = random.Random(self.seed + self.rank)
+        buf: List[Dict[str, Any]] = []
+        count = 0
+        for shard in self._shard_iter(rng):
+            try:
+                samples = tar_sample_iterator(shard, decode=self.decode)
+                for sample in samples:
+                    for fn in self.map_fns:
+                        sample = fn(sample)
+                        if sample is None:
+                            break
+                    if sample is None:
+                        continue
+                    if self.shuffle_buffer > 1:
+                        buf.append(sample)
+                        if len(buf) >= self.shuffle_buffer:
+                            idx = rng.randrange(len(buf))
+                            buf[idx], buf[-1] = buf[-1], buf[idx]
+                            yield buf.pop()
+                            count += 1
+                    else:
+                        yield sample
+                        count += 1
+                    if self.epoch_samples and count >= self.epoch_samples:
+                        rng.shuffle(buf)
+                        yield from buf
+                        return
+            except FileNotFoundError:
+                continue
+        rng.shuffle(buf)
+        yield from buf
+
+    def __iter__(self):
+        it = self._sample_iter()
+        if self.batch_size is None:
+            return it
+        return self._batch_iter(it)
+
+    def _batch_iter(self, it) -> Iterator[Any]:
+        while True:
+            batch = list(itertools.islice(it, self.batch_size))
+            if len(batch) < self.batch_size:
+                return
+            yield self.collator(batch) if self.collator else batch
+
+
+class MapDatasetLoader:
+    """Batched loader over a random-access dataset + sampler (the wids
+    precompute path — reference runner_process_data.py:86-91)."""
+
+    def __init__(self, dataset, sampler, batch_size: int,
+                 collator: Optional[Callable] = None, drop_last: bool = False,
+                 num_threads: int = 8):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.collator = collator
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+
+    def __len__(self):
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        indices = list(iter(self.sampler))
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            for i in range(0, len(indices), self.batch_size):
+                chunk = indices[i: i + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    return
+                samples = list(pool.map(self.dataset.__getitem__, chunk))
+                yield self.collator(samples) if self.collator else samples
+
+
+class IterLoader:
+    """Infinite epoch-wrapping iterator (reference dataloader_utils.py:127-162)."""
+
+    def __init__(self, loader, use_distributed: bool = False):
+        self._loader = loader
+        self._use_distributed = use_distributed
+        self._epoch = 0
+        self.iter_loader = iter(self._loader)
+
+    @property
+    def epoch(self) -> int:
+        return self._epoch
+
+    def __next__(self):
+        try:
+            return next(self.iter_loader)
+        except StopIteration:
+            self._epoch += 1
+            sampler = getattr(self._loader, "sampler", None)
+            if sampler is not None and hasattr(sampler, "set_epoch"):
+                sampler.set_epoch(self._epoch)
+            self.iter_loader = iter(self._loader)
+            return next(self.iter_loader)
+
+    def __iter__(self):
+        return self
+
+    def __len__(self):
+        return len(self._loader)
+
+
+class MultiIterLoader:
+    """Sample from multiple loaders with given ratios
+    (reference dataloader_utils.py:15-43)."""
+
+    def __init__(self, loaders: List[Any], ratios: Optional[List[float]] = None,
+                 seed: int = 0):
+        self.loaders = loaders
+        if ratios is None:
+            ratios = [1.0] * len(loaders)
+        total = sum(ratios)
+        self.ratios = [r / total for r in ratios]
+        self.rng = random.Random(seed)
+
+    def __next__(self):
+        idx = self.rng.choices(range(len(self.loaders)), weights=self.ratios)[0]
+        return next(self.loaders[idx])
+
+    def __iter__(self):
+        return self
+
+
+class PrefetchLoader:
+    """Background-thread batch prefetch + async host->device transfer
+    (replaces the CUDA-stream PrefetchLoader, reference
+    dataloader_utils.py:46-124)."""
+
+    def __init__(self, loader, device_put: Optional[Callable] = None,
+                 depth: int = 2):
+        self.loader = loader
+        self.device_put = device_put
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    if self.device_put is not None:
+                        batch = self.device_put(batch)
+                    q.put(batch)
+            except BaseException as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

@@ -1,0 +1,138 @@
+"""Indexed (random-access) shard dataset + chunked sampler — the wids
+replacement (reference: thinkdiff/runners/runner_process_data.py:86-91 uses
+``wids.ShardListDataset`` + ``wids.ChunkedSampler(chunksize=1000)``).
+
+Random access works by lazily scanning each tar's member offsets once and
+caching them; tar is seekable so per-sample reads are O(1) afterwards.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import tarfile
+from bisect import bisect_right
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+from thinkdiff_tpu.data.tario import decode_field, split_key_ext
+
+
+class _ShardIndex:
+    """Per-shard member table: sample key -> [(name, offset_data, size)]."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.samples: List[List[tuple]] = []
+        order: Dict[str, int] = {}
+        with tarfile.open(path, "r") as tf:
+            for member in tf.getmembers():
+                if not member.isfile():
+                    continue
+                key, ext = split_key_ext(member.name)
+                if key not in order:
+                    order[key] = len(self.samples)
+                    self.samples.append([])
+                self.samples[order[key]].append(
+                    (key, ext, member.offset_data, member.size)
+                )
+
+    def read(self, idx: int, decode: bool = True) -> Dict[str, Any]:
+        sample: Dict[str, Any] = {}
+        with open(self.path, "rb") as f:
+            for key, ext, offset, size in self.samples[idx]:
+                f.seek(offset)
+                data = f.read(size)
+                sample["__key__"] = key
+                sample[ext] = decode_field(ext, data) if decode else data
+        return sample
+
+    def __len__(self):
+        return len(self.samples)
+
+
+class ShardListDataset:
+    """Random-access dataset over a wids-shard-index-v1 JSON or shard list."""
+
+    def __init__(self, index: Any, decode: bool = True,
+                 transform=None):
+        if isinstance(index, str):
+            with open(index) as f:
+                index = json.load(f)
+        if isinstance(index, dict):
+            shardlist = index["shardlist"]
+        else:
+            shardlist = [{"url": u, "nsamples": None} for u in index]
+        self.shard_paths = [s["url"] for s in shardlist]
+        self.decode = decode
+        self.transform = transform
+        self._indices: Dict[int, _ShardIndex] = {}
+        # cumulative sample counts; scan any shard with unknown nsamples
+        counts = []
+        for i, s in enumerate(shardlist):
+            n = s.get("nsamples")
+            if n is None:
+                n = len(self._shard(i))
+            counts.append(n)
+        self.cumulative = []
+        total = 0
+        for c in counts:
+            total += c
+            self.cumulative.append(total)
+        self.total = total
+
+    def _shard(self, i: int) -> _ShardIndex:
+        if i not in self._indices:
+            self._indices[i] = _ShardIndex(self.shard_paths[i])
+        return self._indices[i]
+
+    def __len__(self):
+        return self.total
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        if idx < 0:
+            idx += self.total
+        shard_i = bisect_right(self.cumulative, idx)
+        prev = self.cumulative[shard_i - 1] if shard_i > 0 else 0
+        sample = self._shard(shard_i).read(idx - prev, decode=self.decode)
+        if self.transform:
+            sample = self.transform(sample)
+        return sample
+
+
+class ChunkedSampler:
+    """Shuffle in contiguous chunks (locality-preserving shuffle — matches
+    wids.ChunkedSampler semantics): chunk order shuffled, indices shuffled
+    within each chunk."""
+
+    def __init__(self, dataset_len: int, chunksize: int = 1000,
+                 shuffle: bool = True, seed: int = 0,
+                 rank: int = 0, world_size: int = 1):
+        self.n = dataset_len
+        self.chunksize = chunksize
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        rng = random.Random(self.seed + self.epoch)
+        chunks = [
+            list(range(i, min(i + self.chunksize, self.n)))
+            for i in range(0, self.n, self.chunksize)
+        ]
+        if self.shuffle:
+            rng.shuffle(chunks)
+            for c in chunks:
+                rng.shuffle(c)
+        for ci, c in enumerate(chunks):
+            for j, idx in enumerate(c):
+                # round-robin split across hosts for distributed runs
+                if (ci * self.chunksize + j) % self.world_size == self.rank:
+                    yield idx
+
+    def __len__(self):
+        return self.n // self.world_size
