@@ -1,0 +1,124 @@
+"""The pjit training engine.
+
+TPU-native replacement for the reference's DDP + AMP + GradScaler hot loop
+(reference: thinkdiff/tasks/base_task.py:219-263, runner_base.py:79-139):
+one jitted step = loss -> grad -> optax update, with
+
+  - batch sharded over the (data, fsdp) mesh axes; gradient cross-replica
+    reduction is implicit in GSPMD (no DDP wrapper, no explicit all-reduce);
+  - frozen tower params sharded by the parallel/sharding rules (tensor
+    parallel over ``model``, ZeRO-ish over ``fsdp``), trainable params
+    replicated (they're ~2 Dense layers);
+  - bf16 compute everywhere, f32 master copies for the trainable subtree —
+  AMP/GradScaler are unnecessary on TPU bf16 (no fp16 underflow);
+  - the LR schedule lives inside optax, so the whole update is one XLA
+    program with donated buffers.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from thinkdiff_tpu.core.optim import make_optimizer
+from thinkdiff_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, make_mesh
+from thinkdiff_tpu.parallel.sharding import sharding_tree
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, model, run_cfg: Dict[str, Any], mesh=None):
+        self.model = model
+        self.run_cfg = run_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tx, self.schedule = make_optimizer(run_cfg, model.trainable_params())
+
+        self.replicated = NamedSharding(self.mesh, P())
+        self.batch_sharding = NamedSharding(
+            self.mesh, P((DATA_AXIS, FSDP_AXIS))
+        )
+        # Frozen towers: rule-based sharding (TP/FSDP); trainable: replicated.
+        self.frozen = jax.tree.map(
+            jax.device_put, model.frozen, sharding_tree(model.frozen, self.mesh)
+        )
+        self._jit_step = None
+
+    # -- state --------------------------------------------------------------
+    def init_state(self) -> Dict[str, Any]:
+        params = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x, jnp.float32), self.replicated),
+            self.model.trainable_params(),
+        )
+        opt_state = jax.device_put(self.tx.init(params), self.replicated)
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "step": jax.device_put(jnp.zeros((), jnp.int32), self.replicated),
+        }
+
+    # -- step ---------------------------------------------------------------
+    def _build_step(self) -> Callable:
+        loss_fn = self.model.loss_fn
+        tx = self.tx
+        schedule = self.schedule
+
+        def step(state, frozen, batch, rng):
+            rng = jax.random.fold_in(rng, state["step"])
+
+            def compute_loss(params):
+                return loss_fn(params, frozen, batch, rng)
+
+            loss, grads = jax.value_and_grad(compute_loss)(state["params"])
+            updates, new_opt = tx.update(
+                grads, state["opt_state"], state["params"]
+            )
+            new_params = optax.apply_updates(state["params"], updates)
+            metrics = {
+                "loss": loss,
+                "lr": schedule(state["step"]),
+                "grad_norm": optax.global_norm(grads),
+            }
+            return (
+                {"params": new_params, "opt_state": new_opt,
+                 "step": state["step"] + 1},
+                metrics,
+            )
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Host numpy -> device arrays sharded over the data axis."""
+        return {
+            k: jax.device_put(v, self.batch_sharding)
+            for k, v in batch.items()
+        }
+
+    def train_step(self, state, batch, rng) -> Tuple[Any, Dict[str, Any]]:
+        if self._jit_step is None:
+            self._jit_step = self._build_step()
+        return self._jit_step(state, self.frozen, batch, rng)
+
+    # -- eval ---------------------------------------------------------------
+    def eval_step(self, state, batch) -> jnp.ndarray:
+        @jax.jit
+        def step(params, frozen, batch):
+            return self.model.loss_fn(params, frozen, batch, None)
+
+        return step(state["params"], self.frozen, batch)
+
+
+def global_batch_slices(batch: Dict[str, np.ndarray], mesh) -> Dict[str, Any]:
+    """Form a globally-sharded batch from this host's local shard via
+    ``jax.make_array_from_process_local_data`` (multi-host path)."""
+    sharding = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in batch.items()
+    }

@@ -106,6 +106,40 @@ class BaseModel:
         if ckpt:
             self.load_checkpoint(ckpt)
 
+    def get_t5_tokenizer(self):
+        """Fast T5 tokenizer from local files only (zero-egress friendly)."""
+        path = self.cfg.get("text_pretrained_model_name_or_path",
+                            "google/flan-t5-xxl")
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(path, local_files_only=True)
+        except Exception as e:
+            logger.warning("T5 tokenizer unavailable for %s: %s", path, e)
+            return None
+
+    def get_vlm_decode_fn(self):
+        """token ids -> text with the VLM tokenizer, if locally available.
+        Assign ``model.vlm_decode_fn`` directly to override."""
+        override = self.__dict__.get("vlm_decode_fn")
+        if override is not None:
+            return override
+        if getattr(self, "_vlm_tokenizer", None) is None:
+            path = self.cfg.get("mllama_pretrained_model_name_or_path", None)
+            if not path:
+                return None
+            try:
+                from transformers import AutoTokenizer
+
+                self._vlm_tokenizer = AutoTokenizer.from_pretrained(
+                    path, local_files_only=True
+                )
+            except Exception as e:
+                logger.warning("VLM tokenizer unavailable for %s: %s", path, e)
+                return None
+        tok = self._vlm_tokenizer
+        return lambda ids: tok.decode(ids, skip_special_tokens=True)
+
 
 def maybe_load_hf_weights(repo_or_path: str) -> Optional[Dict[str, np.ndarray]]:
     """Best-effort local (no-network) HF weight load: returns numpy state

@@ -1,0 +1,121 @@
+"""Tasks: the train/eval loop bodies (reference:
+thinkdiff/tasks/base_task.py:19-313).
+
+The hot loop is re-shaped for TPU: instead of per-iter host work
+(cuda moves, manual lr stepping, scaler dance — reference :219-263), the task
+pulls collated numpy batches from the loader, shards them onto the mesh, and
+calls one fused jitted train step. Everything else (metric smoothing, logging
+cadence, accum semantics) matches the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from thinkdiff_tpu.core.config import ConfigNode
+from thinkdiff_tpu.core.distributed import get_rank, get_world_size, is_main_process
+from thinkdiff_tpu.core.logging import MetricLogger, SmoothedValue
+from thinkdiff_tpu.core.registry import registry
+
+logger = logging.getLogger(__name__)
+
+
+def setup_task(cfg):
+    name = cfg.run_cfg.task
+    task_cls = registry.get_task_class(name)
+    if task_cls is None:
+        raise KeyError(f"Unknown task '{name}'")
+    return task_cls.setup_task(cfg=cfg)
+
+
+class BaseTask:
+    def __init__(self, **kwargs):
+        self.inst_id_key = "instance_id"
+
+    @classmethod
+    def setup_task(cls, **kwargs):
+        return cls()
+
+    def build_model(self, cfg):
+        model_cfg = cfg.model_cfg
+        model_cls = registry.get_model_class(model_cfg.arch)
+        if model_cls is None:
+            raise KeyError(f"Unknown model arch '{model_cfg.arch}'")
+        model = model_cls.from_config(model_cfg)
+        model.load_checkpoint_from_config(model_cfg)
+        return model
+
+    def build_datasets(self, cfg) -> Dict[str, Any]:
+        """{dataset_name: {split: DatasetBundle}} via registry builders
+        (reference base_task.py:37-67)."""
+        datasets = {}
+        for name, ds_cfg in cfg.datasets_cfg.items():
+            builder_cls = registry.get_builder_class(name)
+            if builder_cls is None:
+                raise KeyError(f"Unknown dataset builder '{name}'")
+            builder = builder_cls(ds_cfg)
+            datasets[name] = builder.build_datasets()
+        return datasets
+
+    def inject_tokenizers(self, model, datasets):
+        t5_tok = getattr(model, "t5_tokenizer", None)
+        if t5_tok is None and hasattr(model, "get_t5_tokenizer"):
+            t5_tok = model.get_t5_tokenizer()
+        vlm_decode = model.__dict__.get("vlm_decode_fn")
+        if vlm_decode is None and hasattr(model, "get_vlm_decode_fn"):
+            vlm_decode = model.get_vlm_decode_fn()
+        for splits in datasets.values():
+            for bundle in splits.values():
+                bundle.set_tokenizers(t5_tok, vlm_decode)
+
+    # -- the hot loop --------------------------------------------------------
+    def train_epoch(self, epoch: int, trainer, state, data_loader,
+                    iters_per_epoch: int, log_freq: int = 50,
+                    accum_grad_iters: int = 1, seed: int = 42,
+                    wandb_log: bool = False):
+        metric_logger = MetricLogger(delimiter="  ")
+        metric_logger.add_meter("lr", SmoothedValue(window_size=50, fmt="{value:.6f}"))
+        metric_logger.add_meter("loss", SmoothedValue(window_size=50, fmt="{value:.4f}"))
+        header = f"Train: data epoch: [{epoch}]"
+        rng = jax.random.PRNGKey(seed + get_rank())
+
+        data_iter = iter(data_loader)
+        inner = metric_logger.log_every(range(iters_per_epoch), log_freq, header)
+        pending = None  # async dispatch: read metrics one step late
+        for _i in inner:
+            batch = next(data_iter)
+            batch = trainer.prepare_batch(batch)
+            state, metrics = trainer.train_step(state, batch, rng)
+            if pending is not None:
+                metric_logger.update(
+                    loss=float(pending["loss"]), lr=float(pending["lr"])
+                )
+            pending = metrics
+        if pending is not None:
+            metric_logger.update(loss=float(pending["loss"]), lr=float(pending["lr"]))
+        metric_logger.synchronize_between_processes()
+        logger.info("Averaged stats: %s", metric_logger.global_avg())
+        stats = {
+            k: "{:.6f}".format(m.global_avg) for k, m in metric_logger.meters.items()
+        }
+        return state, stats
+
+    def evaluation(self, trainer, state, data_loader, max_batches: Optional[int] = None):
+        losses = []
+        for i, batch in enumerate(data_loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            batch = trainer.prepare_batch(batch)
+            losses.append(float(trainer.eval_step(state, batch)))
+        return {"agg_metrics": -float(np.mean(losses)) if losses else 0.0,
+                "loss": float(np.mean(losses)) if losses else 0.0}
+
+
+@registry.register_task("image_text_pretrain")
+class ImageTextPretrainTask(BaseTask):
+    """Aligner pretraining; evaluation is a no-op in the reference
+    (reference image_text_pretrain.py:17-18)."""
