@@ -1,0 +1,194 @@
+"""Embed engine tests: HF-processor-parity of image preprocessing, and
+end-to-end generation with a tiny random Qwen2-VL (hidden-state/cache
+consistency, EOS semantics, static-shape decode)."""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thinkdiff_tpu.engines.embed_engine import (
+    EmbedEngine, preprocess_image, sample_logits, smart_resize,
+)
+from thinkdiff_tpu.models.qwen2_vl import Qwen2VLConfig, Qwen2VLModel, Qwen2VisionTower
+
+SPECIALS = {
+    "<|im_start|>": 240, "<|im_end|>": 241, "<|endoftext|>": 242,
+    "<|vision_start|>": 249, "<|vision_end|>": 248, "<|image_pad|>": 250,
+}
+
+
+class FakeTokenizer:
+    eos_token_id = 242
+
+    def encode(self, text, add_special_tokens=False):
+        parts = re.split(r"(<\|[a-z_]+\|>)", text)
+        ids = []
+        for p in parts:
+            if not p:
+                continue
+            if p in SPECIALS:
+                ids.append(SPECIALS[p])
+            else:
+                for w in re.findall(r"\S+|\n", p):
+                    ids.append((hash(w) % 200) + 1)
+        return ids
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{i}" for i in ids
+                        if not (skip_special_tokens and i >= 240))
+
+    def convert_tokens_to_ids(self, tok):
+        return SPECIALS.get(tok)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = Qwen2VLConfig.tiny()
+    rng = jax.random.PRNGKey(0)
+    vision = Qwen2VisionTower(cfg.vision)
+    lm = Qwen2VLModel(cfg)
+    vp = vision.init(
+        rng, jnp.zeros((4, cfg.vision.patch_dim)),
+        jnp.zeros((4, cfg.vision.head_dim // 2)),
+        jnp.zeros((4, cfg.vision.head_dim // 2)), None,
+    )["params"]
+    lp = lm.init(
+        rng, input_ids=jnp.zeros((1, 4), jnp.int32),
+        position_ids=jnp.zeros((3, 1, 4), jnp.int32),
+    )["params"]
+    return EmbedEngine(
+        cfg, {"vision": vp, "lm": lp}, FakeTokenizer(),
+        max_tokens=6, min_tokens=1, temperature=0.0, top_p=1.0,
+        eos_ids=[242, 241], min_pixels=8 * 8, max_pixels=64 * 64,
+    )
+
+
+def test_smart_resize_multiples():
+    h, w = smart_resize(300, 500, factor=28)
+    assert h % 28 == 0 and w % 28 == 0
+    h, w = smart_resize(10, 2000, factor=28, max_pixels=1280 * 28 * 28)
+    assert h >= 28 and (h * w) <= 1280 * 28 * 28 + 28 * 28
+
+
+def test_preprocess_matches_hf_processor():
+    transformers = pytest.importorskip("transformers")
+    from PIL import Image
+
+    from transformers import Qwen2VLImageProcessor
+
+    proc = Qwen2VLImageProcessor(
+        min_pixels=56 * 56, max_pixels=12845056,
+        patch_size=14, merge_size=2, temporal_patch_size=2,
+    )
+    rs = np.random.RandomState(0)
+    img = Image.fromarray((rs.rand(300, 400, 3) * 255).astype("uint8"))
+    ref = proc(images=[img], return_tensors="np")
+    patches, grid = preprocess_image(img, 14, 2, 2, 56 * 56, 12845056)
+    np.testing.assert_array_equal(ref["image_grid_thw"][0], grid)
+    np.testing.assert_allclose(
+        patches, ref["pixel_values"], atol=2e-2, rtol=1e-2,
+    )  # PIL vs HF resize interpolation differ slightly
+
+
+def test_generate_end_to_end_and_teacher_forcing(engine):
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    imgs = [Image.fromarray((rs.rand(16, 16, 3) * 255).astype("uint8")),
+            Image.fromarray((rs.rand(24, 16, 3) * 255).astype("uint8"))]
+    batch = {"images": imgs, "answers": ["describe it", "caption the picture"]}
+    result = engine.generate(batch, seed=0)
+
+    assert len(result.texts) == 2
+    for i in range(2):
+        n_out = len(result.output_token_ids[i])
+        assert 1 <= n_out <= 6
+        assert result.hidden_states[i].shape == (n_out, engine.cfg.hidden_size)
+        assert result.prompt_hidden_states[i].shape == (
+            len(result.prompt_token_ids[i]), engine.cfg.hidden_size
+        )
+
+    # Teacher-forcing consistency: run full forward on prompt+generated and
+    # compare hidden states for generated positions (validates KV cache).
+    from thinkdiff_tpu.models.qwen2_vl import get_mrope_position_ids
+
+    i = 0
+    merge = engine.cfg.vision.spatial_merge_size
+    patches, grid = preprocess_image(imgs[i], 4, 2, 2, 8 * 8, 64 * 64)
+    ids = result.prompt_token_ids[i] + result.output_token_ids[i]
+    pos, _ = get_mrope_position_ids(
+        np.asarray(ids), np.asarray([grid]), engine.cfg.image_token_id, merge
+    )
+    from thinkdiff_tpu.models.qwen2_vl import vision_cos_sin, vision_rot_pos_emb
+
+    pos_hw = vision_rot_pos_emb(np.asarray([grid]), merge)
+    cos, sin = vision_cos_sin(pos_hw, engine.cfg.vision.head_dim)
+    img_embeds = engine.vision.apply(
+        {"params": engine.params["vision"]}, jnp.asarray(patches),
+        jnp.asarray(cos), jnp.asarray(sin), None,
+    )
+    full_img = np.zeros((1, len(ids), engine.cfg.hidden_size), np.float32)
+    is_img = np.asarray(ids) == engine.cfg.image_token_id
+    full_img[0, is_img] = np.asarray(img_embeds, np.float32)
+    _, hidden_full, _ = engine.lm.apply(
+        {"params": engine.params["lm"]},
+        input_ids=jnp.asarray(ids)[None],
+        position_ids=jnp.asarray(pos)[:, None],
+        image_embeds=jnp.asarray(full_img),
+        image_mask=jnp.asarray(is_img.astype(np.int32))[None],
+    )
+    hidden_full = np.asarray(hidden_full, np.float32)
+    Lp = len(result.prompt_token_ids[i])
+    # prompt hidden parity
+    np.testing.assert_allclose(
+        result.prompt_hidden_states[i], hidden_full[0, :Lp], atol=2e-4,
+        rtol=1e-3,
+    )
+    # generated hidden parity: engine hidden[j] was produced at position
+    # Lp-1+j of the full sequence
+    n_out = len(result.output_token_ids[i])
+    for j in range(n_out):
+        np.testing.assert_allclose(
+            result.hidden_states[i][j], hidden_full[0, Lp - 1 + j],
+            atol=3e-4, rtol=1e-3,
+        )
+
+
+def test_generate_deterministic_greedy(engine):
+    from PIL import Image
+
+    rs = np.random.RandomState(3)
+    img = Image.fromarray((rs.rand(16, 16, 3) * 255).astype("uint8"))
+    batch = {"images": [img], "answers": ["hello"]}
+    r1 = engine.generate(batch, seed=0)
+    r2 = engine.generate(batch, seed=7)  # greedy -> seed irrelevant
+    assert r1.output_token_ids == r2.output_token_ids
+
+
+def test_min_tokens_and_ignore_eos(engine):
+    from PIL import Image
+
+    img = Image.new("RGB", (16, 16))
+    engine2 = EmbedEngine(
+        engine.cfg, engine.params, FakeTokenizer(),
+        max_tokens=5, min_tokens=5, temperature=0.0, top_p=1.0,
+        ignore_eos=True, eos_ids=[242, 241], min_pixels=8 * 8,
+        max_pixels=64 * 64,
+    )
+    r = engine2.generate({"images": [img], "answers": ["x"]})
+    assert len(r.output_token_ids[0]) == 5  # static shape, no early stop
+
+
+def test_top_p_sampling_masks_tail():
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    # top_p=0.6: keep {0, 1}
+    counts = set()
+    for i in range(20):
+        t = sample_logits(jax.random.fold_in(rng, i), logits, 1.0, 0.6)
+        counts.add(int(t[0]))
+    assert counts <= {0, 1}

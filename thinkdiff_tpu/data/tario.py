@@ -110,10 +110,11 @@ def encode_field(ext: str, value: Any) -> bytes:
     if last in ("pth", "pt"):
         # Keep .pth fields torch-loadable for reference interchange
         # (reference image_text_process_data.py:111-116 uses torch.save).
+        import numpy as np
         import torch
 
         buf = io.BytesIO()
-        torch.save(torch.as_tensor(value), buf)
+        torch.save(torch.as_tensor(np.array(value)), buf)
         return buf.getvalue()
     if last in ("jpg", "jpeg", "png", "webp"):
         from PIL import Image

@@ -1,0 +1,523 @@
+"""Qwen2-VL generation engine: the TPU-native replacement for the
+reference's forked vLLM (reference: thinkdiff/models/mllama_vllm_generate_1.py
+:382-417 — ``LLM(..., return_hidden_states=True)`` + SamplingParams).
+
+Pipeline per batch:
+  host:   smart-resize -> normalize -> patchify (HF processor-compatible
+          ordering), chat-template tokenize, M-RoPE position ids
+  device: vision tower over concatenated patches -> prefill (causal, padded
+          static shapes, KV cache write) -> lax.scan decode with temp/top_p
+          sampling -> final-RMSNorm hidden tap for BOTH prompt and generated
+          tokens (the ``model.norm`` embeddings the aligner trains on)
+
+Static shapes everywhere: prompts pad to ``max_prompt_len`` buckets, decode
+always runs ``max_tokens`` steps (EOS handled by post-trim + logit masking
+for min_tokens). The eval configs (min=max=128, ignore_eos — reference
+configs/test_thinkdiff_lvlm_ccsbu_image_text.yaml:30-32) make this exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinkdiff_tpu.core.config import ConfigNode
+from thinkdiff_tpu.models.qwen2_vl import (
+    Qwen2VLConfig, Qwen2VLModel, Qwen2VisionTower, convert_qwen2_vl,
+    get_mrope_position_ids, vision_cos_sin, vision_rot_pos_emb,
+)
+
+logger = logging.getLogger(__name__)
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+DEFAULT_SYSTEM = "You are a helpful assistant."
+
+
+# ---------------------------------------------------------------------------
+# Host-side image preprocessing (HF Qwen2VLImageProcessor semantics)
+# ---------------------------------------------------------------------------
+
+def smart_resize(height: int, width: int, factor: int = 28,
+                 min_pixels: int = 56 * 56, max_pixels: int = 14 * 14 * 4 * 1280
+                 ) -> Tuple[int, int]:
+    """Resize target dims: multiples of ``factor`` within the pixel budget."""
+    if height < factor or width < factor:
+        scale = factor / min(height, width)
+        height, width = math.ceil(height * scale), math.ceil(width * scale)
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = math.floor(height / beta / factor) * factor
+        w_bar = math.floor(width / beta / factor) * factor
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return max(h_bar, factor), max(w_bar, factor)
+
+
+def preprocess_image(image, patch_size: int = 14, merge: int = 2,
+                     temporal: int = 2, min_pixels: int = 56 * 56,
+                     max_pixels: int = 12845056
+                     ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """PIL/array image -> (patches (N, C*T*P*P), grid (t, h, w)).
+
+    Patch vector ordering (C, T, Ph, Pw) and sequence ordering
+    (t, H/m, W/m, m, m) match the HF processor so converted conv weights
+    apply directly.
+    """
+    from PIL import Image
+
+    if not isinstance(image, Image.Image):
+        image = Image.fromarray(np.asarray(image))
+    image = image.convert("RGB")
+    h_bar, w_bar = smart_resize(image.height, image.width,
+                                patch_size * merge, min_pixels, max_pixels)
+    image = image.resize((w_bar, h_bar), Image.BICUBIC)
+    arr = np.asarray(image, np.float32) / 255.0
+    arr = (arr - CLIP_MEAN) / CLIP_STD                       # (H, W, C)
+    arr = arr.transpose(2, 0, 1)                              # (C, H, W)
+    arr = np.tile(arr[None], (temporal, 1, 1, 1))             # (T, C, H, W)
+
+    grid_t = 1
+    grid_h, grid_w = h_bar // patch_size, w_bar // patch_size
+    p = patch_size
+    patches = arr.reshape(
+        grid_t, temporal, 3,
+        grid_h // merge, merge, p,
+        grid_w // merge, merge, p,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    patches = patches.reshape(grid_t * grid_h * grid_w, 3 * temporal * p * p)
+    return patches.astype(np.float32), (grid_t, grid_h, grid_w)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def sample_logits(rng, logits, temperature: float, top_p: float):
+    """(B, V) logits -> (B,) token ids, temperature + nucleus sampling."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+        k = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
+        threshold = jnp.take_along_axis(sorted_logits, k - 1, axis=-1)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """Mirror of the reference's vLLM output consumption
+    (mllama_vllm_generate_1.py:591-617)."""
+
+    texts: List[str]
+    prompt_token_ids: List[List[int]]
+    output_token_ids: List[List[int]]
+    prompt_hidden_states: List[np.ndarray]   # (prompt_len, D) each
+    hidden_states: List[np.ndarray]          # (gen_len, D) each
+    input_prompts: List[str]
+
+
+class EmbedEngine:
+    def __init__(self, cfg: Qwen2VLConfig, params: Dict[str, Any],
+                 tokenizer=None, *, max_prompt_len: int = 1024,
+                 max_tokens: int = 256, min_tokens: int = 1,
+                 temperature: float = 0.6, top_p: float = 0.9,
+                 ignore_eos: bool = False, eos_ids: Sequence[int] = (),
+                 system_prompt: str = DEFAULT_SYSTEM,
+                 min_pixels: int = 56 * 56, max_pixels: int = 12845056):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_prompt_len = max_prompt_len
+        self.max_tokens = max_tokens
+        self.min_tokens = min_tokens
+        self.temperature = temperature
+        self.top_p = top_p
+        self.ignore_eos = ignore_eos
+        self.eos_ids = list(eos_ids)
+        self.system_prompt = system_prompt
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
+        self.vision = Qwen2VisionTower(cfg.vision)
+        self.lm = Qwen2VLModel(cfg)
+        self._prefill_fn = None
+        self._decode_fn = None
+        self._vision_fn = None
+        self.num_system_tokens = self._count_system_tokens()
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_config(cls, model_cfg: ConfigNode) -> "EmbedEngine":
+        from thinkdiff_tpu.models.base import maybe_load_hf_weights, str_to_dtype
+
+        path = model_cfg.get("mllama_pretrained_model_name_or_path",
+                             "Qwen/Qwen2-VL-2B-Instruct")
+        dtype = str_to_dtype(model_cfg.get("dtype", "bfloat16"))
+        if "7B" in str(path):
+            cfg = Qwen2VLConfig.qwen2_vl_7b(dtype=dtype)
+        else:
+            cfg = Qwen2VLConfig.qwen2_vl_2b(dtype=dtype)
+        sd = maybe_load_hf_weights(path)
+        if sd is None:
+            raise FileNotFoundError(
+                f"Qwen2-VL weights for '{path}' not found locally; "
+                "the engine cannot random-init a useful VLM."
+            )
+        params = convert_qwen2_vl(sd, dtype=np.dtype(jnp.bfloat16)
+                                  if dtype == jnp.bfloat16 else None)
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(path, local_files_only=True)
+        vcfg = model_cfg.get("vllm_config", {}) or {}
+        eos = [tokenizer.eos_token_id]
+        im_end = tokenizer.convert_tokens_to_ids("<|im_end|>")
+        if im_end is not None and im_end not in eos:
+            eos.append(im_end)
+        return cls(
+            cfg, params, tokenizer,
+            max_prompt_len=min(int(vcfg.get("max_model_len", 8192)), 8192),
+            max_tokens=int(vcfg.get("max_tokens", 256)),
+            min_tokens=int(vcfg.get("min_tokens", 1)),
+            temperature=float(vcfg.get("temperature", 0.6)),
+            top_p=float(vcfg.get("top_p", 0.9)),
+            ignore_eos=bool(vcfg.get("ignore_eos", False)),
+            eos_ids=eos,
+        )
+
+    # -- prompt building ----------------------------------------------------
+    def _count_system_tokens(self) -> int:
+        """Length of the tokenized system preamble — the '14 system tokens'
+        the reference skips for input_no_system
+        (mllama_vllm_t5_embed_decoder_2.py:1107-1109)."""
+        if self.tokenizer is None:
+            return 0
+        text = f"<|im_start|>system\n{self.system_prompt}<|im_end|>\n"
+        return len(self.tokenizer.encode(text, add_special_tokens=False))
+
+    def build_prompt(self, text: str, n_images: int,
+                     image_token_counts: Sequence[int]) -> Tuple[str, List[int]]:
+        """Qwen2-VL chat template with expanded image pads. Returns
+        (prompt_text, token_ids)."""
+        vision_parts = "".join(
+            "<|vision_start|><|image_pad|><|vision_end|>"
+            for _ in range(n_images)
+        )
+        prompt = (
+            f"<|im_start|>system\n{self.system_prompt}<|im_end|>\n"
+            f"<|im_start|>user\n{vision_parts}{text}<|im_end|>\n"
+            f"<|im_start|>assistant\n"
+        )
+        ids = self.tokenizer.encode(prompt, add_special_tokens=False)
+        # expand each <|image_pad|> to its per-image token count
+        pad_id = self.cfg.image_token_id
+        out: List[int] = []
+        img_i = 0
+        for tid in ids:
+            if tid == pad_id:
+                out.extend([pad_id] * image_token_counts[img_i])
+                img_i += 1
+            else:
+                out.append(tid)
+        return prompt, out
+
+    # -- jitted device functions --------------------------------------------
+    def _get_vision_fn(self):
+        if self._vision_fn is None:
+            @jax.jit
+            def run(params, patches, cos, sin, bias):
+                return self.vision.apply({"params": params}, patches, cos,
+                                         sin, bias)
+
+            self._vision_fn = run
+        return self._vision_fn
+
+    def _get_prefill_fn(self):
+        if self._prefill_fn is None:
+            @jax.jit
+            def prefill(params, input_ids, position_ids, mask, image_embeds,
+                        image_mask, caches):
+                logits, hidden, caches = self.lm.apply(
+                    {"params": params}, input_ids=input_ids,
+                    position_ids=position_ids, mask=mask,
+                    image_embeds=image_embeds, image_mask=image_mask,
+                    caches=caches, cache_len=jnp.zeros(
+                        (input_ids.shape[0],), jnp.int32),
+                )
+                return logits, hidden, caches
+
+            self._prefill_fn = prefill
+        return self._prefill_fn
+
+    def _get_decode_fn(self, max_steps: int, min_tokens: int,
+                       temperature: float, top_p: float):
+        eos_arr = jnp.asarray(
+            self.eos_ids if self.eos_ids else [-1], jnp.int32
+        )
+        ignore_eos = self.ignore_eos
+
+        @functools.partial(jax.jit, static_argnames=())
+        def decode(params, caches, first_tokens, start_pos, prompt_len, rng):
+            """first_tokens (B,); start_pos (B,) = prompt_len + delta;
+            prompt_len (B,) = true prompt lengths (cache write offset)."""
+
+            def step(carry, i):
+                caches, tokens, cache_len, pos, rng = carry
+                rng, sub = jax.random.split(rng)
+                pos3 = jnp.broadcast_to(pos[None, :, None], (3, pos.shape[0], 1))
+                logits, hidden, caches = self.lm.apply(
+                    {"params": params}, input_ids=tokens[:, None],
+                    position_ids=pos3, caches=caches, cache_len=cache_len,
+                )
+                logits_last = logits[:, 0]
+                if not ignore_eos:
+                    block_eos = i < min_tokens - 1
+                    logits_last = jnp.where(
+                        jnp.logical_and(
+                            block_eos,
+                            jnp.isin(
+                                jnp.arange(logits_last.shape[-1]), eos_arr
+                            )[None],
+                        ),
+                        -jnp.inf, logits_last,
+                    )
+                nxt = sample_logits(sub, logits_last, temperature, top_p)
+                return (
+                    (caches, nxt, cache_len + 1, pos + 1, rng),
+                    (nxt, hidden[:, 0]),
+                )
+
+            init = (caches, first_tokens, prompt_len, start_pos, rng)
+            (_, _, _, _, _), (tokens, hiddens) = jax.lax.scan(
+                step, init, jnp.arange(max_steps)
+            )
+            # tokens: (steps, B); hiddens: (steps, B, D)
+            return tokens.T, hiddens.transpose(1, 0, 2)
+
+        return decode
+
+    # -- generation ---------------------------------------------------------
+    def generate(self, samples: Dict[str, Any], max_new_tokens: Optional[int] = None,
+                 seed: int = 0) -> GenerationResult:
+        """samples: {"images": [PIL or [PIL,...]], "answers": [str]} (the
+        precompute collator output) — or {"prompts": [...]} pre-built."""
+        images_per_sample = samples.get("images", [])
+        texts = samples.get("answers") or samples.get("prompts")
+        b = len(texts)
+        max_tokens = int(max_new_tokens or self.max_tokens)
+        merge = self.cfg.vision.spatial_merge_size
+
+        # 1. preprocess all images, concat patches for one vision pass
+        all_patches, all_grids = [], []
+        per_sample_grids: List[List[Tuple[int, int, int]]] = []
+        for img_entry in images_per_sample:
+            imgs = img_entry if isinstance(img_entry, (list, tuple)) else [img_entry]
+            grids = []
+            for img in imgs:
+                patches, grid = preprocess_image(
+                    img, self.cfg.vision.patch_size, merge,
+                    self.cfg.vision.temporal_patch_size,
+                    self.min_pixels, self.max_pixels,
+                )
+                all_patches.append(patches)
+                all_grids.append(grid)
+                grids.append(grid)
+            per_sample_grids.append(grids)
+        if not images_per_sample:
+            per_sample_grids = [[] for _ in range(b)]
+
+        image_embeds_list: List[np.ndarray] = []
+        if all_patches:
+            patches = np.concatenate(all_patches, 0)
+            grid_arr = np.asarray(all_grids, np.int64)
+            pos_hw = vision_rot_pos_emb(grid_arr, merge)
+            cos, sin = vision_cos_sin(pos_hw, self.cfg.vision.head_dim)
+            # cross-image attention mask (block-diagonal over images)
+            seqs = [t * h * w for t, h, w in all_grids]
+            total = sum(seqs)
+            bias = np.full((total, total), -1e30, np.float32)
+            off = 0
+            for s in seqs:
+                bias[off: off + s, off: off + s] = 0.0
+                off += s
+            embeds = self._get_vision_fn()(
+                self.params["vision"], jnp.asarray(patches),
+                jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(bias),
+            )
+            embeds = np.asarray(embeds, np.float32)
+            # split per image (merged token counts)
+            out_off = 0
+            for s in seqs:
+                n = s // (merge ** 2)
+                image_embeds_list.append(embeds[out_off: out_off + n])
+                out_off += n
+
+        # 2. build prompts + positions
+        prompts, ids_list, pos_list, deltas = [], [], [], []
+        img_i = 0
+        for i in range(b):
+            grids = per_sample_grids[i]
+            counts = [t * h * w // (merge ** 2) for t, h, w in grids]
+            prompt, ids = self.build_prompt(texts[i], len(grids), counts)
+            pos, delta = get_mrope_position_ids(
+                np.asarray(ids), np.asarray(grids, np.int64).reshape(-1, 3),
+                self.cfg.image_token_id, merge,
+            )
+            prompts.append(prompt)
+            ids_list.append(ids)
+            pos_list.append(pos)
+            deltas.append(int(delta))
+
+        prompt_lens = [len(i) for i in ids_list]
+        pad_to = 1 << max(6, (max(prompt_lens) - 1).bit_length())  # bucket
+        pad_to = min(pad_to, self.max_prompt_len)
+        assert max(prompt_lens) <= pad_to, "prompt exceeds max_prompt_len"
+
+        input_ids = np.zeros((b, pad_to), np.int32)
+        mask = np.zeros((b, pad_to), np.int32)
+        positions = np.zeros((3, b, pad_to), np.int32)
+        img_embeds = np.zeros((b, pad_to, self.cfg.hidden_size), np.float32)
+        img_mask = np.zeros((b, pad_to), np.int32)
+        img_i = 0
+        for i in range(b):
+            L = prompt_lens[i]
+            input_ids[i, :L] = ids_list[i]
+            mask[i, :L] = 1
+            positions[:, i, :L] = pos_list[i]
+            is_img = np.asarray(ids_list[i]) == self.cfg.image_token_id
+            if is_img.any():
+                n_img = len(per_sample_grids[i])
+                embeds = np.concatenate(
+                    image_embeds_list[img_i: img_i + n_img], axis=0
+                )
+                img_i += n_img
+                idxs = np.nonzero(is_img)[0]
+                img_embeds[i, idxs] = embeds
+                img_mask[i, idxs] = 1
+
+        # 3. prefill
+        cache_size = pad_to + max_tokens
+        hd = self.cfg.head_dim
+        dtype = self.cfg.dtype
+        caches = [
+            (jnp.zeros((b, self.cfg.num_kv_heads, cache_size, hd), dtype),
+             jnp.zeros((b, self.cfg.num_kv_heads, cache_size, hd), dtype))
+            for _ in range(self.cfg.num_layers)
+        ]
+        logits, hidden, caches = self._get_prefill_fn()(
+            self.params["lm"], jnp.asarray(input_ids),
+            jnp.asarray(positions), jnp.asarray(mask),
+            jnp.asarray(img_embeds), jnp.asarray(img_mask), caches,
+        )
+        hidden = np.asarray(hidden, np.float32)
+        last_idx = np.asarray(prompt_lens) - 1
+        last_logits = np.asarray(logits)[np.arange(b), last_idx]
+
+        rng = jax.random.PRNGKey(seed)
+        rng, sub = jax.random.split(rng)
+        first = sample_logits(
+            sub, jnp.asarray(last_logits), self.temperature, self.top_p
+        )
+
+        # 4. decode
+        decode = self._get_decode_fn(
+            max_tokens - 1, self.min_tokens, self.temperature, self.top_p
+        ) if max_tokens > 1 else None
+        prompt_len_arr = jnp.asarray(prompt_lens, jnp.int32)
+        start_pos = jnp.asarray(
+            [prompt_lens[i] + deltas[i] for i in range(b)], jnp.int32
+        )
+        if decode is not None:
+            gen_tokens, gen_hidden = decode(
+                self.params["lm"], caches, first, start_pos,
+                prompt_len_arr, rng,
+            )
+            gen_tokens = np.concatenate(
+                [np.asarray(first)[:, None], np.asarray(gen_tokens)], axis=1
+            )
+            # hidden for the step that PRODUCED each token: prefill's last
+            # hidden produced token 0; decode step i produced token i+1.
+            first_hidden = hidden[np.arange(b), last_idx][:, None]
+            gen_hidden = np.concatenate(
+                [first_hidden, np.asarray(gen_hidden, np.float32)], axis=1
+            )
+        else:
+            gen_tokens = np.asarray(first)[:, None]
+            gen_hidden = hidden[np.arange(b), last_idx][:, None]
+
+        # 5. trim at EOS + detokenize
+        out_texts, out_ids, out_hidden, prompt_hidden = [], [], [], []
+        for i in range(b):
+            toks = gen_tokens[i].tolist()
+            if not self.ignore_eos and self.eos_ids:
+                for j, t in enumerate(toks):
+                    if t in self.eos_ids and j >= self.min_tokens - 1:
+                        toks = toks[: j + 1]
+                        break
+            n = len(toks)
+            out_ids.append(toks)
+            out_hidden.append(gen_hidden[i, :n])
+            prompt_hidden.append(hidden[i, : prompt_lens[i]])
+            text = self.tokenizer.decode(
+                [t for t in toks if t not in self.eos_ids],
+                skip_special_tokens=True,
+            ) if self.tokenizer else ""
+            out_texts.append(text)
+
+        return GenerationResult(
+            texts=out_texts, prompt_token_ids=[list(x) for x in ids_list],
+            output_token_ids=out_ids, prompt_hidden_states=prompt_hidden,
+            hidden_states=out_hidden, input_prompts=prompts,
+        )
+
+
+class MllamaVllmGenerateModel:
+    """Registry model wrapping the engine for the precompute task — the
+    reference's ``mllama-vllm-generate-1`` (mllama_vllm_generate_1.py:364)."""
+
+    def __init__(self, cfg: ConfigNode, engine: Optional[EmbedEngine] = None):
+        self.cfg = cfg
+        self.engine = engine if engine is not None else EmbedEngine.from_config(cfg)
+        vcfg = cfg.get("vllm_config", {}) or {}
+        self.embedding_layer_name = vcfg.get("embedding_layer_name", "model.norm")
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(cfg)
+
+    def load_checkpoint_from_config(self, cfg):
+        pass  # frozen inference model
+
+    def forward(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        result = self.engine.generate(batch)
+        return {
+            "generated_texts": result.texts,
+            "input_prompts": result.input_prompts,
+            "prompt_token_ids": result.prompt_token_ids,
+            "output_token_ids": result.output_token_ids,
+            "prompt_hidden_states": result.prompt_hidden_states,
+            "hidden_states": result.hidden_states,
+            "embedding_layer_name": self.embedding_layer_name,
+        }
+
+
+from thinkdiff_tpu.core.registry import registry  # noqa: E402
+
+registry.register_model("mllama-vllm-generate-1")(MllamaVllmGenerateModel)
