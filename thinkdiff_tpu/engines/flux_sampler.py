@@ -1,0 +1,179 @@
+"""FLUX sampling pipeline: flow-match Euler denoising with external prompt
+embeds — the TPU-native FluxPipelineRewritePrompt.
+
+The reference overrides diffusers' FluxPipeline so that externally supplied
+``prompt_embeds`` (aligned VLM/CLIP tokens) bypass T5 encoding while CLIP
+pooled embeds still come from the text prompt (reference:
+thinkdiff/models/flux_prompt.py:37-121; driven at
+scripts/test/test_mllama_t5_decoder_flux.py:173-192 with 1024^2, 28 steps,
+guidance 3.5). Here that contract is the native API: ``sample(prompt_embeds,
+pooled, ...)``, with the whole denoise loop one jitted ``lax.scan``.
+
+Scheduler = FlowMatchEulerDiscrete with FLUX dynamic shifting:
+  sigmas = linspace(1, 1/N); mu = base + (seq-256)*(max-base)/(4096-256)
+  sigma' = exp(mu) / (exp(mu) + (1/sigma - 1))
+  x_{i+1} = x_i + (sigma_{i+1} - sigma_i) * v_theta(x_i)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinkdiff_tpu.models.flux import (
+    FluxConfig, FluxTransformer, make_img_ids, pack_latents, unpack_latents,
+)
+from thinkdiff_tpu.models.flux_vae import VAEConfig, VAEDecoder
+
+logger = logging.getLogger(__name__)
+
+
+def calculate_shift(image_seq_len: int, base_seq_len: int = 256,
+                    max_seq_len: int = 4096, base_shift: float = 0.5,
+                    max_shift: float = 1.15) -> float:
+    m = (max_shift - base_shift) / (max_seq_len - base_seq_len)
+    b = base_shift - m * base_seq_len
+    return image_seq_len * m + b
+
+
+def flux_sigmas(num_steps: int, image_seq_len: int,
+                dynamic_shifting: bool = True, shift: float = 3.0) -> np.ndarray:
+    """(num_steps + 1,) sigma schedule ending at 0."""
+    sigmas = np.linspace(1.0, 1.0 / num_steps, num_steps, dtype=np.float64)
+    if dynamic_shifting:
+        mu = calculate_shift(image_seq_len)
+        sigmas = math.exp(mu) / (math.exp(mu) + (1.0 / sigmas - 1.0))
+    else:
+        sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+class FluxSampler:
+    def __init__(self, cfg: FluxConfig, params: Dict[str, Any],
+                 vae_cfg: Optional[VAEConfig] = None,
+                 vae_params: Optional[Dict[str, Any]] = None):
+        self.cfg = cfg
+        self.params = params
+        self.vae_cfg = vae_cfg
+        self.vae_params = vae_params
+        self.transformer = FluxTransformer(cfg)
+        self.vae = VAEDecoder(vae_cfg) if vae_cfg is not None else None
+        self._denoise_fn = None
+        self._decode_fn = None
+
+    @classmethod
+    def from_pretrained(cls, flux_path: str = "black-forest-labs/FLUX.1-dev",
+                        dtype=jnp.bfloat16) -> "FluxSampler":
+        from thinkdiff_tpu.models.base import maybe_load_hf_weights
+        from thinkdiff_tpu.models.flux import convert_flux
+        from thinkdiff_tpu.models.flux_vae import convert_vae_decoder
+
+        sd = maybe_load_hf_weights(flux_path)
+        if sd is None:
+            raise FileNotFoundError(f"FLUX weights not found for {flux_path}")
+        np_dtype = np.dtype(jnp.bfloat16) if dtype == jnp.bfloat16 else None
+        cfg = FluxConfig.flux_dev(dtype=dtype)
+        params = convert_flux(
+            {k.replace("transformer.", "", 1): v for k, v in sd.items()
+             if k.startswith("transformer.")} or sd, dtype=np_dtype,
+        )
+        vae_cfg, vae_params = None, None
+        if any(k.startswith("decoder.") or k.startswith("vae.") for k in sd):
+            vae_sd = {k.replace("vae.", "", 1): v for k, v in sd.items()
+                      if k.startswith("vae.")} or sd
+            vae_cfg = VAEConfig.flux(dtype=dtype)
+            vae_params = convert_vae_decoder(vae_sd, dtype=np_dtype)
+        return cls(cfg, params, vae_cfg, vae_params)
+
+    # -- jitted loops -------------------------------------------------------
+    def _get_denoise_fn(self, num_steps: int, guidance: float):
+        if self._denoise_fn is None:
+            self._denoise_fn = {}
+        key = (num_steps, guidance)
+        if key not in self._denoise_fn:
+            transformer = self.transformer
+
+            @jax.jit
+            def denoise(params, latents, txt, pooled, img_ids, txt_ids, sigmas):
+                b = latents.shape[0]
+                g = jnp.full((b,), guidance, jnp.float32)
+
+                def step(x, i):
+                    sigma = sigmas[i]
+                    t = jnp.full((b,), sigma, jnp.float32)
+                    v = transformer.apply(
+                        {"params": params}, x, txt, pooled, t, img_ids,
+                        txt_ids, g,
+                    )
+                    x = x + (sigmas[i + 1] - sigma) * v.astype(x.dtype)
+                    return x, None
+
+                latents, _ = jax.lax.scan(
+                    step, latents, jnp.arange(num_steps)
+                )
+                return latents
+
+            self._denoise_fn[key] = denoise
+        return self._denoise_fn[key]
+
+    def _get_decode_fn(self):
+        if self._decode_fn is None:
+            vae = self.vae
+            scale = self.vae_cfg.scaling_factor
+            shift = self.vae_cfg.shift_factor
+
+            @jax.jit
+            def decode(params, latents):
+                z = latents / scale + shift
+                img = vae.apply({"params": params}, z)
+                return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+            self._decode_fn = decode
+        return self._decode_fn
+
+    # -- public API ---------------------------------------------------------
+    def sample(self, prompt_embeds, pooled_embeds, height: int = 1024,
+               width: int = 1024, num_steps: int = 28, guidance: float = 3.5,
+               seed: int = 0, output_latents: bool = False):
+        """prompt_embeds (B, S_txt, joint_dim) — aligned tokens straight from
+        the projector; pooled_embeds (B, pooled_dim).
+        Returns images (B, H, W, 3) in [0, 1] (or packed latents)."""
+        b = prompt_embeds.shape[0]
+        lat_h, lat_w = height // 8, width // 8
+        seq_len = (lat_h // 2) * (lat_w // 2)
+        rng = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(
+            rng, (b, seq_len, self.cfg.in_channels), jnp.float32
+        ).astype(self.cfg.dtype)
+        img_ids = jnp.asarray(make_img_ids(lat_h, lat_w))
+        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+        sigmas = jnp.asarray(flux_sigmas(num_steps, seq_len))
+        denoise = self._get_denoise_fn(num_steps, guidance)
+        latents = denoise(
+            self.params, latents, jnp.asarray(prompt_embeds),
+            jnp.asarray(pooled_embeds), img_ids, txt_ids, sigmas,
+        )
+        if output_latents or self.vae is None:
+            return latents
+        spatial = unpack_latents(latents, lat_h, lat_w)
+        images = self._get_decode_fn()(self.vae_params, spatial)
+        return images
+
+
+def save_images(images, paths):
+    """(B, H, W, 3) floats in [0,1] -> PNG files."""
+    from PIL import Image
+
+    arr = np.asarray(jax.device_get(images))
+    for img, path in zip(arr, paths):
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        Image.fromarray((img * 255).astype(np.uint8)).save(path)
