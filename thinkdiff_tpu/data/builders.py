@@ -73,6 +73,31 @@ class BaseDatasetBuilder:
         return build_processor(tp_cfg) if tp_cfg else None
 
 
+class DatasetZoo:
+    """Name -> builder listing (reference datasets/builders/__init__.py:24-73)."""
+
+    def __init__(self):
+        self.dataset_zoo = {
+            name: [name]
+            for name in sorted(registry.mapping["builder_name_mapping"].keys())
+        }
+
+    def __len__(self):
+        return len(self.dataset_zoo)
+
+    def get_names(self):
+        return list(self.dataset_zoo.keys())
+
+
+def load_dataset(name: str, cfg=None):
+    """Directly build a dataset by builder name (reference
+    builders/__init__.py load_dataset)."""
+    builder_cls = registry.get_builder_class(name)
+    if builder_cls is None:
+        raise KeyError(f"Unknown dataset builder '{name}'")
+    return builder_cls(cfg if cfg is not None else ConfigNode()).build_datasets()
+
+
 @registry.register_builder("cc_sbu")
 class CCSBUBuilder(BaseDatasetBuilder):
     """Image-caption tar shards -> caption-split batches

@@ -195,6 +195,32 @@ class MultiIterLoader:
         return self
 
 
+class ChainDataset:
+    """Ratio-weighted sampling across multiple streaming pipelines
+    (reference data_utils.py:33-63 — wds ChainDataset analog)."""
+
+    def __init__(self, datasets: List[Any], ratios: Optional[List[float]] = None,
+                 seed: int = 0):
+        self.datasets = datasets
+        if ratios is None:
+            ratios = [1.0] * len(datasets)
+        total = sum(ratios)
+        self.ratios = [r / total for r in ratios]
+        self.seed = seed
+
+    def __iter__(self):
+        rng = random.Random(self.seed)
+        its = [iter(d) for d in self.datasets]
+        alive = list(range(len(its)))
+        while alive:
+            weights = [self.ratios[i] for i in alive]
+            pick = rng.choices(alive, weights=weights)[0]
+            try:
+                yield next(its[pick])
+            except StopIteration:
+                alive.remove(pick)
+
+
 class PrefetchLoader:
     """Background-thread batch prefetch + async host->device transfer
     (replaces the CUDA-stream PrefetchLoader, reference

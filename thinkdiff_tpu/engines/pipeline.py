@@ -31,6 +31,55 @@ from thinkdiff_tpu.models.clip_text import (
 logger = logging.getLogger(__name__)
 
 
+class T5TextEmbedder:
+    """T5 encoder text embeds — diffusers' _get_t5_prompt_embeds equivalent,
+    used when composing [image tokens; text embeds] conditions
+    (reference scripts/test/test_blip_vision_t5_decoder_flux.py:216)."""
+
+    def __init__(self, t5_model, t5_params, tokenizer,
+                 max_sequence_length: int = 512):
+        self.t5 = t5_model
+        self.params = t5_params
+        self.tokenizer = tokenizer
+        self.max_sequence_length = max_sequence_length
+
+    @classmethod
+    def from_pretrained(cls, path: str = "google/flan-t5-xxl",
+                        dtype=jnp.bfloat16, max_sequence_length: int = 512):
+        from transformers import AutoTokenizer
+
+        from thinkdiff_tpu.models.base import maybe_load_hf_weights
+        from thinkdiff_tpu.models.convert import convert_t5
+        from thinkdiff_tpu.models.t5 import T5Config, T5ForConditionalGeneration
+
+        sd = maybe_load_hf_weights(path)
+        if sd is None:
+            raise FileNotFoundError(f"T5 weights not found for {path}")
+        np_dtype = np.dtype(jnp.bfloat16) if dtype == jnp.bfloat16 else None
+        cfg = T5Config.flan_t5_xxl(dtype=dtype, dropout_rate=0.0)
+        params = convert_t5(sd, dtype=np_dtype)
+        tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+        return cls(T5ForConditionalGeneration(cfg), {"params": params}, tok,
+                   max_sequence_length)
+
+    def __call__(self, text, max_len: Optional[int] = None):
+        """text (str or list) -> (B, S, d_model) encoder states."""
+        texts = [text] if isinstance(text, str) else list(text)
+        max_len = max_len or self.max_sequence_length
+        ids = [self.tokenizer.encode(t)[:max_len] for t in texts]
+        width = max(len(i) for i in ids)
+        arr = np.zeros((len(ids), width), np.int32)
+        mask = np.zeros((len(ids), width), np.int32)
+        for i, row in enumerate(ids):
+            arr[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        states, _ = self.t5.apply(
+            self.params, method=self.t5.encode,
+            input_ids=jnp.asarray(arr), attention_mask=jnp.asarray(mask),
+        )
+        return np.asarray(states, np.float32)
+
+
 class ThinkDiffPipeline:
     def __init__(self, sampler: FluxSampler, clip_encoder=None,
                  clip_params=None, clip_tokenizer=None,

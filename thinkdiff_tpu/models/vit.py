@@ -60,6 +60,18 @@ class ViTConfig:
         return cls(**base)
 
     @classmethod
+    def eva_vit_g(cls, **kw):
+        """EVA-CLIP-g geometry (reference thinkdiff/models/eva_vit.py:415-441:
+        patch 14, width 1408, depth 39, mlp_ratio 4.3637). Vestigial in the
+        reference's active configs (BlipVisionT5Decoder uses the HF BLIP-2
+        tower) but kept for BaseModel.init_vision_encoder parity."""
+        base = dict(hidden_size=1408, intermediate_size=int(1408 * 4.3637),
+                    num_layers=39, num_heads=16, patch_size=14,
+                    hidden_act="gelu", use_pre_norm=False)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
     def tiny(cls, **kw):
         base = dict(hidden_size=32, intermediate_size=64, num_layers=2,
                     num_heads=4, image_size=28, patch_size=14)

@@ -99,6 +99,7 @@ class RunnerBase:
                     log_freq=self.log_freq,
                     accum_grad_iters=self.accum_grad_iters,
                     seed=self.seed,
+                    profile_dir=self.config.run_cfg.get("profile_dir", None),
                 )
                 self.log_stats(stats, split_name="train", epoch=epoch)
                 stats_all = stats

@@ -11,6 +11,7 @@ cadence, accum semantics) matches the reference.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -76,7 +77,11 @@ class BaseTask:
     def train_epoch(self, epoch: int, trainer, state, data_loader,
                     iters_per_epoch: int, log_freq: int = 50,
                     accum_grad_iters: int = 1, seed: int = 42,
-                    wandb_log: bool = False):
+                    wandb_log: bool = False, profile_dir: Optional[str] = None):
+        if profile_dir and epoch == 0:
+            # jax.profiler trace of the first iters (TPU-native replacement
+            # for the reference's cuda max-mem reporting, SURVEY.md §5)
+            jax.profiler.start_trace(profile_dir)
         metric_logger = MetricLogger(delimiter="  ")
         metric_logger.add_meter("lr", SmoothedValue(window_size=50, fmt="{value:.6f}"))
         metric_logger.add_meter("loss", SmoothedValue(window_size=50, fmt="{value:.4f}"))
@@ -97,6 +102,8 @@ class BaseTask:
             pending = metrics
         if pending is not None:
             metric_logger.update(loss=float(pending["loss"]), lr=float(pending["lr"]))
+        if profile_dir and epoch == 0:
+            jax.profiler.stop_trace()
         metric_logger.synchronize_between_processes()
         logger.info("Averaged stats: %s", metric_logger.global_avg())
         stats = {
@@ -113,6 +120,41 @@ class BaseTask:
             losses.append(float(trainer.eval_step(state, batch)))
         return {"agg_metrics": -float(np.mean(losses)) if losses else 0.0,
                 "loss": float(np.mean(losses)) if losses else 0.0}
+
+
+def save_result(result, result_dir: str, filename: str,
+                remove_duplicate: str = "") -> str:
+    """Distributed result merge: each process writes its own JSON, process 0
+    concatenates after a barrier (reference base_task.py:274-312)."""
+    import json
+
+    from thinkdiff_tpu.core.distributed import barrier
+
+    os.makedirs(result_dir, exist_ok=True)
+    rank_file = os.path.join(result_dir, f"{filename}_rank{get_rank()}.json")
+    with open(rank_file, "w") as f:
+        json.dump(result, f)
+    barrier()
+    final_file = os.path.join(result_dir, f"{filename}.json")
+    if is_main_process():
+        merged = []
+        for rank in range(get_world_size()):
+            with open(os.path.join(result_dir,
+                                   f"{filename}_rank{rank}.json")) as f:
+                merged += json.load(f)
+        if remove_duplicate:
+            seen, deduped = set(), []
+            for item in merged:
+                key = item.get(remove_duplicate)
+                if key not in seen:
+                    seen.add(key)
+                    deduped.append(item)
+            merged = deduped
+        with open(final_file, "w") as f:
+            json.dump(merged, f)
+        logger.info("result file saved to %s", final_file)
+    barrier()
+    return final_file
 
 
 @registry.register_task("image_text_pretrain")
