@@ -115,7 +115,13 @@ class CCSBUBuilder(BaseDatasetBuilder):
         text_proc = self._text_processor()
         state: Dict[str, Any] = {"t5_tok": None}
 
+        from thinkdiff_tpu.data import native
+
+        use_native = bool(cfg.get("use_native_decode", True)) and native.available()
+        image_size = int(getattr(vis_proc, "image_size", 224) or 224)
+
         def map_fn(sample):
+            """decoded-sample path (native off)."""
             img = sample.get("jpg") or sample.get("png")
             if img is None or "json" not in sample:
                 return None
@@ -127,6 +133,19 @@ class CCSBUBuilder(BaseDatasetBuilder):
                 "answer": caption,
             }
 
+        def map_fn_raw(sample):
+            """raw-bytes path: jpeg decode happens batched in C++."""
+            import json as _json
+
+            img = sample.get("jpg") or sample.get("png")
+            if img is None or "json" not in sample:
+                return None
+            caption = _json.loads(sample["json"]).get("caption", "")
+            if text_proc:
+                caption = text_proc(caption)
+            return {"jpg_bytes": img, "answer": caption,
+                    "image_size": image_size}
+
         def make_loader(batch_size, rank, world_size, seed, epoch):
             assert state["t5_tok"] is not None, "tokenizer not injected"
             collator = CaptionSplitCollator(
@@ -134,7 +153,9 @@ class CCSBUBuilder(BaseDatasetBuilder):
             )
             pipe = WebDatasetPipeline(
                 storage, resample=True, shuffle_buffer=1000,
-                map_fns=[map_fn], batch_size=batch_size, collator=collator,
+                decode=not use_native,
+                map_fns=[map_fn_raw if use_native else map_fn],
+                batch_size=batch_size, collator=collator,
                 seed=seed + epoch, rank=rank, world_size=world_size,
             )
             return PrefetchLoader(pipe)

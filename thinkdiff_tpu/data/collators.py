@@ -111,7 +111,19 @@ class CaptionSplitCollator:
         self.rng = random.Random(seed) if seed is not None else None
 
     def __call__(self, samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
-        images = np.stack([np.asarray(s["image"], np.float32) for s in samples])
+        if "jpg_bytes" in samples[0]:
+            # native fast path: fused decode+resize+normalize in C++
+            from thinkdiff_tpu.data.native import decode_resize_normalize_batch
+            from thinkdiff_tpu.data.processors import CLIP_MEAN, CLIP_STD
+
+            target = samples[0].get("image_size", 224)
+            images = decode_resize_normalize_batch(
+                [s["jpg_bytes"] for s in samples], target, CLIP_MEAN, CLIP_STD
+            )
+        else:
+            images = np.stack(
+                [np.asarray(s["image"], np.float32) for s in samples]
+            )
         firsts, seconds = [], []
         for s in samples:
             a, b = self.split_fn(s["answer"], rng=self.rng) if self.rng else \

@@ -18,26 +18,47 @@ from thinkdiff_tpu.data.tario import decode_field, split_key_ext
 
 
 class _ShardIndex:
-    """Per-shard member table: sample key -> [(name, offset_data, size)]."""
+    """Per-shard member table: sample key -> [(name, offset_data, size)].
+
+    Uses the native C++ indexer/pread (thinkdiff_tpu/data/native.py) when
+    available; Python tarfile otherwise.
+    """
 
     def __init__(self, path: str):
         self.path = path
         self.samples: List[List[tuple]] = []
+        self._native = None
         order: Dict[str, int] = {}
-        with tarfile.open(path, "r") as tf:
-            for member in tf.getmembers():
-                if not member.isfile():
-                    continue
-                key, ext = split_key_ext(member.name)
-                if key not in order:
-                    order[key] = len(self.samples)
-                    self.samples.append([])
-                self.samples[order[key]].append(
-                    (key, ext, member.offset_data, member.size)
-                )
+        members = None
+        try:
+            from thinkdiff_tpu.data import native
+
+            if native.available():
+                self._native = native.NativeTarIndex(path)
+                members = self._native.members
+        except Exception:
+            self._native = None
+        if members is None:
+            with tarfile.open(path, "r") as tf:
+                members = [
+                    (m.name, m.offset_data, m.size)
+                    for m in tf.getmembers() if m.isfile()
+                ]
+        for name, offset, size in members:
+            key, ext = split_key_ext(name)
+            if key not in order:
+                order[key] = len(self.samples)
+                self.samples.append([])
+            self.samples[order[key]].append((key, ext, offset, size))
 
     def read(self, idx: int, decode: bool = True) -> Dict[str, Any]:
         sample: Dict[str, Any] = {}
+        if self._native is not None:
+            for key, ext, offset, size in self.samples[idx]:
+                data = self._native.read(offset, size)
+                sample["__key__"] = key
+                sample[ext] = decode_field(ext, data) if decode else data
+            return sample
         with open(self.path, "rb") as f:
             for key, ext, offset, size in self.samples[idx]:
                 f.seek(offset)
