@@ -144,9 +144,10 @@ def test_generate_end_to_end_and_teacher_forcing(engine):
     hidden_full = np.asarray(hidden_full, np.float32)
     Lp = len(result.prompt_token_ids[i])
     # prompt hidden parity
+    # engine hidden states travel as bf16 -> bf16 tolerance
     np.testing.assert_allclose(
-        result.prompt_hidden_states[i], hidden_full[0, :Lp], atol=2e-4,
-        rtol=1e-3,
+        result.prompt_hidden_states[i], hidden_full[0, :Lp], atol=5e-2,
+        rtol=2e-2,
     )
     # generated hidden parity: engine hidden[j] was produced at position
     # Lp-1+j of the full sequence
@@ -154,7 +155,7 @@ def test_generate_end_to_end_and_teacher_forcing(engine):
     for j in range(n_out):
         np.testing.assert_allclose(
             result.hidden_states[i][j], hidden_full[0, Lp - 1 + j],
-            atol=3e-4, rtol=1e-3,
+            atol=5e-2, rtol=2e-2,
         )
 
 

@@ -106,20 +106,27 @@ def preprocess_image(image, patch_size: int = 14, merge: int = 2,
 # Sampling
 # ---------------------------------------------------------------------------
 
-def sample_logits(rng, logits, temperature: float, top_p: float):
-    """(B, V) logits -> (B,) token ids, temperature + nucleus sampling."""
+def sample_logits(rng, logits, temperature: float, top_p: float,
+                  top_k_prefilter: int = 1024):
+    """(B, V) logits -> (B,) token ids, temperature + nucleus sampling.
+
+    Nucleus runs over a top-k prefilter (vLLM-style): a full 152k-vocab sort
+    per step is far more expensive on TPU than top_k; any realistic top_p
+    mass sits well inside the top 1024.
+    """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits.astype(jnp.float32) / temperature
-    if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
-        k = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
-        threshold = jnp.take_along_axis(sorted_logits, k - 1, axis=-1)
-        logits = jnp.where(logits < threshold, -jnp.inf, logits)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    if top_p >= 1.0:
+        return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    k = min(top_k_prefilter, logits.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(logits, k)          # sorted desc
+    probs = jax.nn.softmax(top_vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < top_p                            # always keeps top-1
+    masked = jnp.where(keep, top_vals, -jnp.inf)
+    choice = jax.random.categorical(rng, masked, axis=-1)
+    return jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 
 @dataclasses.dataclass
@@ -250,18 +257,41 @@ class EmbedEngine:
         return self._vision_fn
 
     def _get_prefill_fn(self):
+        """Prefill + FIRST-token sampling fused on device. Only the sampled
+        token, bf16 hidden states and the caches leave the device — never
+        full-sequence logits (a (B, T, 152k) f32 device->host transfer over
+        the tunnel was the dominant cost of the naive formulation)."""
         if self._prefill_fn is None:
-            @jax.jit
+            temperature, top_p = self.temperature, self.top_p
+            block_first_eos = (not self.ignore_eos) and self.min_tokens > 1
+            eos_arr = jnp.asarray(
+                self.eos_ids if self.eos_ids else [-1], jnp.int32
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(6,))
             def prefill(params, input_ids, position_ids, mask, image_embeds,
-                        image_mask, caches):
-                logits, hidden, caches = self.lm.apply(
+                        image_mask, caches, last_idx, rng):
+                b = input_ids.shape[0]
+                _, hidden, caches = self.lm.apply(
                     {"params": params}, input_ids=input_ids,
                     position_ids=position_ids, mask=mask,
                     image_embeds=image_embeds, image_mask=image_mask,
-                    caches=caches, cache_len=jnp.zeros(
-                        (input_ids.shape[0],), jnp.int32),
+                    caches=caches,
+                    cache_len=jnp.zeros((b,), jnp.int32),
+                    compute_logits=False,
                 )
-                return logits, hidden, caches
+                last_hidden = hidden[jnp.arange(b), last_idx]
+                last_logits = self.lm.apply(
+                    {"params": params}, last_hidden, method=self.lm.logits
+                )
+                if block_first_eos:
+                    last_logits = jnp.where(
+                        jnp.isin(jnp.arange(last_logits.shape[-1]),
+                                 eos_arr)[None],
+                        -jnp.inf, last_logits.astype(jnp.float32),
+                    )
+                first = sample_logits(rng, last_logits, temperature, top_p)
+                return first, hidden.astype(jnp.bfloat16), caches
 
             self._prefill_fn = prefill
         return self._prefill_fn
@@ -273,7 +303,7 @@ class EmbedEngine:
         )
         ignore_eos = self.ignore_eos
 
-        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def decode(params, caches, first_tokens, start_pos, prompt_len, rng):
             """first_tokens (B,); start_pos (B,) = prompt_len + delta;
             prompt_len (B,) = true prompt lengths (cache write offset)."""
@@ -282,11 +312,14 @@ class EmbedEngine:
                 caches, tokens, cache_len, pos, rng = carry
                 rng, sub = jax.random.split(rng)
                 pos3 = jnp.broadcast_to(pos[None, :, None], (3, pos.shape[0], 1))
-                logits, hidden, caches = self.lm.apply(
+                _, hidden, caches = self.lm.apply(
                     {"params": params}, input_ids=tokens[:, None],
                     position_ids=pos3, caches=caches, cache_len=cache_len,
+                    compute_logits=False,
                 )
-                logits_last = logits[:, 0]
+                logits_last = self.lm.apply(
+                    {"params": params}, hidden[:, 0], method=self.lm.logits
+                )
                 if not ignore_eos:
                     block_eos = i < min_tokens - 1
                     logits_last = jnp.where(
@@ -301,7 +334,7 @@ class EmbedEngine:
                 nxt = sample_logits(sub, logits_last, temperature, top_p)
                 return (
                     (caches, nxt, cache_len + 1, pos + 1, rng),
-                    (nxt, hidden[:, 0]),
+                    (nxt, hidden[:, 0].astype(jnp.bfloat16)),
                 )
 
             init = (caches, first_tokens, prompt_len, start_pos, rng)
@@ -343,31 +376,26 @@ class EmbedEngine:
         if not images_per_sample:
             per_sample_grids = [[] for _ in range(b)]
 
-        image_embeds_list: List[np.ndarray] = []
+        # Vision pass: group same-grid images onto the batch axis (one call
+        # per distinct grid). NEVER concatenate sequences with a dense
+        # (S_total, S_total) cross-image bias — for 8x 1024-patch images that
+        # bias alone is 268 MB of host->device traffic.
+        image_embeds_list: List[Optional[np.ndarray]] = [None] * len(all_patches)
         if all_patches:
-            patches = np.concatenate(all_patches, 0)
-            grid_arr = np.asarray(all_grids, np.int64)
-            pos_hw = vision_rot_pos_emb(grid_arr, merge)
-            cos, sin = vision_cos_sin(pos_hw, self.cfg.vision.head_dim)
-            # cross-image attention mask (block-diagonal over images)
-            seqs = [t * h * w for t, h, w in all_grids]
-            total = sum(seqs)
-            bias = np.full((total, total), -1e30, np.float32)
-            off = 0
-            for s in seqs:
-                bias[off: off + s, off: off + s] = 0.0
-                off += s
-            embeds = self._get_vision_fn()(
-                self.params["vision"], jnp.asarray(patches),
-                jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(bias),
-            )
-            embeds = np.asarray(embeds, np.float32)
-            # split per image (merged token counts)
-            out_off = 0
-            for s in seqs:
-                n = s // (merge ** 2)
-                image_embeds_list.append(embeds[out_off: out_off + n])
-                out_off += n
+            groups: Dict[Tuple[int, int, int], List[int]] = {}
+            for i, g in enumerate(all_grids):
+                groups.setdefault(tuple(g), []).append(i)
+            for grid, idxs in groups.items():
+                pos_hw = vision_rot_pos_emb(np.asarray([grid], np.int64), merge)
+                cos, sin = vision_cos_sin(pos_hw, self.cfg.vision.head_dim)
+                batch_patches = np.stack([all_patches[i] for i in idxs])
+                embeds = self._get_vision_fn()(
+                    self.params["vision"], jnp.asarray(batch_patches),
+                    jnp.asarray(cos), jnp.asarray(sin), None,
+                )
+                embeds = np.asarray(embeds)  # (B, S/m^2, hidden), model dtype
+                for j, i in enumerate(idxs):
+                    image_embeds_list[i] = embeds[j]
 
         # 2. build prompts + positions
         prompts, ids_list, pos_list, deltas = [], [], [], []
@@ -393,7 +421,11 @@ class EmbedEngine:
         input_ids = np.zeros((b, pad_to), np.int32)
         mask = np.zeros((b, pad_to), np.int32)
         positions = np.zeros((3, b, pad_to), np.int32)
-        img_embeds = np.zeros((b, pad_to, self.cfg.hidden_size), np.float32)
+        import ml_dtypes
+
+        # bf16 host buffer: halves the host->device upload over the tunnel
+        img_embeds = np.zeros((b, pad_to, self.cfg.hidden_size),
+                              ml_dtypes.bfloat16)
         img_mask = np.zeros((b, pad_to), np.int32)
         img_i = 0
         for i in range(b):
@@ -421,20 +453,16 @@ class EmbedEngine:
              jnp.zeros((b, self.cfg.num_kv_heads, cache_size, hd), dtype))
             for _ in range(self.cfg.num_layers)
         ]
-        logits, hidden, caches = self._get_prefill_fn()(
+        last_idx = np.asarray(prompt_lens) - 1
+        rng = jax.random.PRNGKey(seed)
+        rng, sub = jax.random.split(rng)
+        first, hidden_dev, caches = self._get_prefill_fn()(
             self.params["lm"], jnp.asarray(input_ids),
             jnp.asarray(positions), jnp.asarray(mask),
             jnp.asarray(img_embeds), jnp.asarray(img_mask), caches,
+            jnp.asarray(last_idx), sub,
         )
-        hidden = np.asarray(hidden, np.float32)
-        last_idx = np.asarray(prompt_lens) - 1
-        last_logits = np.asarray(logits)[np.arange(b), last_idx]
-
-        rng = jax.random.PRNGKey(seed)
-        rng, sub = jax.random.split(rng)
-        first = sample_logits(
-            sub, jnp.asarray(last_logits), self.temperature, self.top_p
-        )
+        hidden = np.asarray(hidden_dev).astype(np.float32)
 
         # 4. decode
         decode = self._get_decode_fn(
@@ -456,7 +484,8 @@ class EmbedEngine:
             # hidden produced token 0; decode step i produced token i+1.
             first_hidden = hidden[np.arange(b), last_idx][:, None]
             gen_hidden = np.concatenate(
-                [first_hidden, np.asarray(gen_hidden, np.float32)], axis=1
+                [first_hidden,
+                 np.asarray(gen_hidden).astype(np.float32)], axis=1
             )
         else:
             gen_tokens = np.asarray(first)[:, None]

@@ -146,6 +146,8 @@ class VisionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias=None):
+        """x: (B, S, d); cos/sin: (S, hd/2) shared across the batch (same
+        grid per batch entry); attn_bias optional (S, S)."""
         cfg = self.cfg
         d, h = cfg.embed_dim, cfg.num_heads
         hd = cfg.head_dim
@@ -154,16 +156,16 @@ class VisionBlock(nn.Module):
         y = ln("norm1")(x)
         qkv = nn.Dense(3 * d, name="qkv", dtype=cfg.dtype,
                        param_dtype=cfg.dtype)(y)
-        seq = x.shape[0]
-        qkv = qkv.reshape(seq, 3, h, hd).transpose(1, 2, 0, 3)  # (3, H, S, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        b, seq, _ = x.shape
+        qkv = qkv.reshape(b, seq, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, S, hd)
         q, k = apply_rope(q, k, cos, sin)
         out = flash_attention(
-            q[None], k[None], v[None],
+            q, k, v,
             attn_bias[None, None] if attn_bias is not None else None,
             False, hd ** -0.5,
-        )[0]
-        out = out.transpose(1, 0, 2).reshape(seq, d)
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, seq, d)
         x = x + nn.Dense(d, name="proj", dtype=cfg.dtype,
                          param_dtype=cfg.dtype)(out)
         y = ln("norm2")(x)
@@ -179,10 +181,15 @@ class Qwen2VisionTower(nn.Module):
 
     @nn.compact
     def __call__(self, patches, cos, sin, attn_bias=None):
-        """patches: (S, patch_dim) in merge-window order; cos/sin (S, hd/2);
-        attn_bias (S, S) additive cross-image mask or None.
-        Returns merged tokens (S // merge^2, hidden_size)."""
+        """patches: (B, S, patch_dim) — B same-grid images — or (S, patch_dim)
+        for a single concatenated sequence (with optional (S, S) cross-image
+        ``attn_bias``). cos/sin (S, hd/2).
+        Returns merged tokens (B, S // merge^2, hidden) (or 2D if 2D input).
+        """
         cfg = self.cfg
+        squeeze = patches.ndim == 2
+        if squeeze:
+            patches = patches[None]
         x = nn.Dense(cfg.embed_dim, use_bias=False, name="patch_embed",
                      dtype=cfg.dtype, param_dtype=cfg.dtype)(
             patches.astype(cfg.dtype))
@@ -191,14 +198,15 @@ class Qwen2VisionTower(nn.Module):
         # merger: LayerNorm -> group 2x2 -> MLP
         x = nn.LayerNorm(epsilon=1e-6, name="ln_q", dtype=cfg.dtype,
                          param_dtype=cfg.dtype)(x)
+        b, seq, _ = x.shape
         m2 = cfg.spatial_merge_size ** 2
-        x = x.reshape(-1, cfg.embed_dim * m2)
+        x = x.reshape(b, seq // m2, cfg.embed_dim * m2)
         x = nn.Dense(cfg.embed_dim * m2, name="mlp_0", dtype=cfg.dtype,
                      param_dtype=cfg.dtype)(x)
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Dense(cfg.hidden_size, name="mlp_2", dtype=cfg.dtype,
                      param_dtype=cfg.dtype)(x)
-        return x
+        return x[0] if squeeze else x
 
 
 # ---------------------------------------------------------------------------
@@ -338,10 +346,11 @@ class Qwen2VLModel(nn.Module):
 
     def __call__(self, input_ids=None, input_embeds=None, position_ids=None,
                  mask=None, caches=None, cache_len=None,
-                 image_embeds=None, image_mask=None):
+                 image_embeds=None, image_mask=None, compute_logits=True):
         """image_embeds (B, T, D) scattered into positions where
         image_mask (B, T) is 1 (vision tokens replace their placeholder
-        embeddings, HF semantics)."""
+        embeddings, HF semantics). ``compute_logits=False`` skips the
+        full-sequence lm_head (prefill only needs the last position)."""
         if input_embeds is None:
             input_embeds = self.embed(input_ids)
         if image_embeds is not None:
@@ -352,7 +361,8 @@ class Qwen2VLModel(nn.Module):
         hidden, new_caches = self.decoder(
             input_embeds, position_ids, mask, caches, cache_len
         )
-        return self.logits(hidden), hidden, new_caches
+        logits = self.logits(hidden) if compute_logits else None
+        return logits, hidden, new_caches
 
 
 # ---------------------------------------------------------------------------
