@@ -298,6 +298,14 @@ class EmbedEngine:
 
     def _get_decode_fn(self, max_steps: int, min_tokens: int,
                        temperature: float, top_p: float):
+        # Memoize per sampling config — a fresh closure per call would create
+        # a new jit cache entry and re-trace/re-compile the whole decode scan
+        # on EVERY generate() (measured ~13 s/call of pure retrace).
+        if self._decode_fn is None:
+            self._decode_fn = {}
+        cache_key = (max_steps, min_tokens, temperature, top_p)
+        if cache_key in self._decode_fn:
+            return self._decode_fn[cache_key]
         eos_arr = jnp.asarray(
             self.eos_ids if self.eos_ids else [-1], jnp.int32
         )
@@ -344,6 +352,7 @@ class EmbedEngine:
             # tokens: (steps, B); hiddens: (steps, B, D)
             return tokens.T, hiddens.transpose(1, 0, 2)
 
+        self._decode_fn[cache_key] = decode
         return decode
 
     # -- generation ---------------------------------------------------------
