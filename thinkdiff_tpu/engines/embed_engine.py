@@ -394,10 +394,15 @@ class EmbedEngine:
             groups: Dict[Tuple[int, int, int], List[int]] = {}
             for i, g in enumerate(all_grids):
                 groups.setdefault(tuple(g), []).append(i)
+            import ml_dtypes
+
             for grid, idxs in groups.items():
                 pos_hw = vision_rot_pos_emb(np.asarray([grid], np.int64), merge)
                 cos, sin = vision_cos_sin(pos_hw, self.cfg.vision.head_dim)
-                batch_patches = np.stack([all_patches[i] for i in idxs])
+                # bf16 upload: patches dominate host->device bytes
+                batch_patches = np.stack(
+                    [all_patches[i] for i in idxs]
+                ).astype(ml_dtypes.bfloat16)
                 embeds = self._get_vision_fn()(
                     self.params["vision"], jnp.asarray(batch_patches),
                     jnp.asarray(cos), jnp.asarray(sin), None,

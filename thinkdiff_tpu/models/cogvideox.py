@@ -1,0 +1,285 @@
+"""CogVideoX-style video diffusion transformer in JAX.
+
+The reference composes ThinkDiff-CLIP conditions into diffusers'
+``CogVideoXPipeline`` (CogVideoX-5b) for text+image -> video
+(reference: scripts/test/test_blip_vision_t5_decoder_cogvideo.py:116-189,
+first 65 vision tokens + T5 text embeds within a 226-token budget).
+
+Architecture mirrored from the released model family: joint text+video
+sequence, per-block "LayerNormZero" modulation (scale/shift/gate computed
+separately for the text and video halves from the timestep embedding),
+qk-layernormed attention with 3D RoPE over (t, y, x) patch positions,
+gelu-tanh FFN, final AdaLN + patch unprojection, v-prediction.
+
+NOTE: diffusers is not present in this build environment, so unlike the
+T5/Qwen2-VL/CLIP stacks this model is validated structurally (shapes,
+conditioning sensitivity, scheduler math) rather than against torch
+reference outputs; the weight converter follows the published diffusers key
+layout and gets numerical validation when released weights are mountable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thinkdiff_tpu.models.flux import (
+    MLPEmbedder, QKNorm, apply_rope_interleaved, timestep_embedding,
+)
+from thinkdiff_tpu.ops.flash_attention import flash_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoXConfig:
+    in_channels: int = 16
+    hidden_size: int = 3072          # 5b; 2b = 1920
+    num_heads: int = 48              # 5b; 2b = 30
+    num_layers: int = 42             # 5b; 2b = 30
+    text_dim: int = 4096             # T5-xxl
+    patch_size: int = 2
+    time_embed_dim: int = 512
+    mlp_ratio: float = 4.0
+    rope_theta: float = 10000.0
+    max_text_len: int = 226
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def cogvideox_5b(cls, **kw):
+        return cls(**{**dict(dtype=jnp.bfloat16), **kw})
+
+    @classmethod
+    def tiny(cls, **kw):
+        base = dict(in_channels=4, hidden_size=64, num_heads=4, num_layers=2,
+                    text_dim=32, patch_size=2, time_embed_dim=32,
+                    max_text_len=8)
+        base.update(kw)
+        return cls(**base)
+
+
+def video_rope_cos_sin(t: int, h: int, w: int, head_dim: int,
+                       theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3D rope tables over (t, y, x) patch grid -> (t*h*w, head_dim)."""
+    dims = [head_dim // 4, (head_dim - head_dim // 4) // 2,
+            (head_dim - head_dim // 4) // 2]
+    # round to even
+    dims = [d - d % 2 for d in dims]
+    dims[0] += head_dim - sum(dims)
+    grids = np.meshgrid(np.arange(t), np.arange(h), np.arange(w),
+                        indexing="ij")
+    cos_parts, sin_parts = [], []
+    for axis, dim in enumerate(dims):
+        omega = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+        ang = grids[axis].reshape(-1, 1).astype(np.float64) * omega[None]
+        cos_parts.append(np.repeat(np.cos(ang), 2, axis=-1))
+        sin_parts.append(np.repeat(np.sin(ang), 2, axis=-1))
+    return (jnp.asarray(np.concatenate(cos_parts, -1), jnp.float32),
+            jnp.asarray(np.concatenate(sin_parts, -1), jnp.float32))
+
+
+class CogVideoXBlock(nn.Module):
+    cfg: CogVideoXConfig
+
+    @nn.compact
+    def __call__(self, txt, vid, temb, cos, sin):
+        cfg = self.cfg
+        d, h, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+        dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
+                                            param_dtype=cfg.dtype)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
+                                       dtype=cfg.dtype, param_dtype=cfg.dtype)
+        st = txt.shape[1]
+
+        # LayerNormZero: 6*dim for (txt shift/scale/gate, vid shift/scale/gate)
+        mod1 = dense(6 * d, "norm1_mod")(jax.nn.silu(temb))
+        ts1, tc1, tg1, vs1, vc1, vg1 = jnp.split(mod1, 6, axis=-1)
+        txt_n = ln("norm1")(txt) * (1 + tc1[:, None]) + ts1[:, None]
+        vid_n = ln("norm1_v")(vid) * (1 + vc1[:, None]) + vs1[:, None]
+
+        x = jnp.concatenate([txt_n, vid_n], axis=1)
+        b, s, _ = x.shape
+        q = dense(d, "to_q")(x).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        k = dense(d, "to_k")(x).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        v = dense(d, "to_v")(x).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        q, k = QKNorm(hd, cfg.dtype, name="qknorm")(q, k)
+        # rope applies only to the video tokens (text ids are position-free)
+        qv = apply_rope_interleaved(q[:, :, st:], cos, sin)
+        kv_ = apply_rope_interleaved(k[:, :, st:], cos, sin)
+        q = jnp.concatenate([q[:, :, :st], qv], axis=2)
+        k = jnp.concatenate([k[:, :, :st], kv_], axis=2)
+        attn = flash_attention(q, k, v, None, False, hd ** -0.5)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+        attn = dense(d, "to_out")(attn)
+        txt = txt + tg1[:, None] * attn[:, :st]
+        vid = vid + vg1[:, None] * attn[:, st:]
+
+        mod2 = dense(6 * d, "norm2_mod")(jax.nn.silu(temb))
+        ts2, tc2, tg2, vs2, vc2, vg2 = jnp.split(mod2, 6, axis=-1)
+        txt_n = ln("norm2")(txt) * (1 + tc2[:, None]) + ts2[:, None]
+        vid_n = ln("norm2_v")(vid) * (1 + vc2[:, None]) + vs2[:, None]
+        y = jnp.concatenate([txt_n, vid_n], axis=1)
+        y = dense(int(d * cfg.mlp_ratio), "ff1")(y)
+        y = jax.nn.gelu(y, approximate=True)
+        y = dense(d, "ff2")(y)
+        txt = txt + tg2[:, None] * y[:, :st]
+        vid = vid + vg2[:, None] * y[:, st:]
+        return txt, vid
+
+
+class CogVideoXTransformer(nn.Module):
+    cfg: CogVideoXConfig
+
+    @nn.compact
+    def __call__(self, latents, text_embeds, timestep):
+        """latents: (B, T, H, W, C) latent frames; text_embeds: (B, S, text_dim)
+        (aligned ThinkDiff tokens and/or T5 embeds); timestep (B,) ints.
+        Returns v-prediction with the latents' shape."""
+        cfg = self.cfg
+        b, t, hgt, wdt, c = latents.shape
+        p = cfg.patch_size
+        dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
+                                            param_dtype=cfg.dtype)
+        # patchify (p x p spatial)
+        x = latents.reshape(b, t, hgt // p, p, wdt // p, p, c)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, t * (hgt // p) * (wdt // p), p * p * c)
+        vid = dense(cfg.hidden_size, "patch_embed")(x.astype(cfg.dtype))
+        txt = dense(cfg.hidden_size, "text_embed")(text_embeds.astype(cfg.dtype))
+
+        temb = MLPEmbedder(cfg.time_embed_dim, cfg.dtype, name="time_embed")(
+            timestep_embedding(timestep.astype(jnp.float32), 256).astype(cfg.dtype)
+        )
+        cos, sin = video_rope_cos_sin(t, hgt // p, wdt // p, cfg.head_dim,
+                                      cfg.rope_theta)
+        for i in range(cfg.num_layers):
+            txt, vid = CogVideoXBlock(cfg, name=f"block_{i}")(
+                txt, vid, temb, cos, sin)
+
+        mod = dense(2 * cfg.hidden_size, "norm_out_mod")(jax.nn.silu(temb))
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        vid = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
+                           name="norm_out", dtype=cfg.dtype,
+                           param_dtype=cfg.dtype)(vid)
+        vid = vid * (1 + scale[:, None]) + shift[:, None]
+        out = dense(p * p * c, "proj_out")(vid)
+        out = out.reshape(b, t, hgt // p, wdt // p, p, p, c)
+        out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, hgt, wdt, c)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# v-prediction DDIM sampler with dynamic classifier-free guidance
+# ---------------------------------------------------------------------------
+
+def cosine_betas(num_train_steps: int = 1000, s: float = 0.008) -> np.ndarray:
+    steps = np.arange(num_train_steps + 1, dtype=np.float64)
+    f = np.cos((steps / num_train_steps + s) / (1 + s) * math.pi / 2) ** 2
+    alphas_bar = f / f[0]
+    betas = 1 - alphas_bar[1:] / alphas_bar[:-1]
+    return np.clip(betas, 0, 0.999)
+
+
+class CogVideoXSampler:
+    """DDIM over v-prediction (CogVideoXDDIMScheduler semantics) with the
+    pipeline's dynamic cfg: guidance ramps with a cosine over steps."""
+
+    def __init__(self, cfg: CogVideoXConfig, params: Dict[str, Any],
+                 num_train_steps: int = 1000):
+        self.cfg = cfg
+        self.params = params
+        self.model = CogVideoXTransformer(cfg)
+        betas = cosine_betas(num_train_steps)
+        self.alphas_bar = np.cumprod(1.0 - betas)
+        self.num_train_steps = num_train_steps
+
+    def sample(self, text_embeds, frames: int = 4, height: int = 32,
+               width: int = 32, num_steps: int = 50, guidance: float = 6.0,
+               use_dynamic_cfg: bool = True, seed: int = 0):
+        b = text_embeds.shape[0]
+        rng = jax.random.PRNGKey(seed)
+        lat = jax.random.normal(
+            rng, (b, frames, height, width, self.cfg.in_channels), jnp.float32
+        )
+        null_text = jnp.zeros_like(jnp.asarray(text_embeds))
+        step_idx = np.linspace(self.num_train_steps - 1, 0, num_steps).astype(int)
+
+        @jax.jit
+        def one_step(lat, ts, a_t, a_prev, g):
+            v_cond = self.model.apply({"params": self.params}, lat,
+                                      jnp.asarray(text_embeds), ts)
+            v_uncond = self.model.apply({"params": self.params}, lat,
+                                        null_text, ts)
+            v = v_uncond + g * (v_cond - v_uncond)
+            # v-pred -> x0/eps
+            x0 = jnp.sqrt(a_t) * lat - jnp.sqrt(1 - a_t) * v
+            eps = jnp.sqrt(a_t) * v + jnp.sqrt(1 - a_t) * lat
+            return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+
+        for i, t_cur in enumerate(step_idx):
+            t_prev = step_idx[i + 1] if i + 1 < len(step_idx) else -1
+            if use_dynamic_cfg:
+                g = 1 + (guidance - 1) * (
+                    1 - math.cos(math.pi * (num_steps - i) / num_steps)
+                ) / 2
+            else:
+                g = guidance
+            a_t = float(self.alphas_bar[t_cur])
+            a_prev = float(self.alphas_bar[t_prev]) if t_prev >= 0 else 1.0
+            lat = one_step(lat, jnp.full((b,), int(t_cur), jnp.int32),
+                           jnp.float32(a_t), jnp.float32(a_prev),
+                           jnp.float32(g))
+        return lat
+
+
+def convert_cogvideox(sd: Dict[str, np.ndarray], dtype=None) -> Dict[str, Any]:
+    """diffusers CogVideoXTransformer3DModel key layout -> our params.
+    (Numerical validation pending weight availability — see module docstring.)
+    """
+    import re
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def put_linear(name, key, sd=sd):
+        arr = sd[key + ".weight"]
+        if arr.ndim == 2:
+            arr = arr.T
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        flat[name + "/kernel"] = arr
+        if key + ".bias" in sd:
+            b = sd[key + ".bias"]
+            flat[name + "/bias"] = b.astype(dtype) if dtype is not None else b
+
+    put_linear("patch_embed", "patch_embed.proj")
+    put_linear("text_embed", "patch_embed.text_proj")
+    put_linear("time_embed/linear_1", "time_embedding.linear_1")
+    put_linear("time_embed/linear_2", "time_embedding.linear_2")
+    n = 1 + max((int(m.group(1)) for k in sd
+                 if (m := re.match(r"transformer_blocks\.(\d+)\.", k))),
+                default=-1)
+    for i in range(n):
+        hb, ob = f"transformer_blocks.{i}.", f"block_{i}"
+        put_linear(f"{ob}/norm1_mod", hb + "norm1.linear")
+        put_linear(f"{ob}/norm2_mod", hb + "norm2.linear")
+        for p in ("to_q", "to_k", "to_v"):
+            put_linear(f"{ob}/{p}", hb + f"attn1.{p}")
+        put_linear(f"{ob}/to_out", hb + "attn1.to_out.0")
+        flat[f"{ob}/qknorm/q_scale"] = sd[hb + "attn1.norm_q.weight"]
+        flat[f"{ob}/qknorm/k_scale"] = sd[hb + "attn1.norm_k.weight"]
+        put_linear(f"{ob}/ff1", hb + "ff.net.0.proj")
+        put_linear(f"{ob}/ff2", hb + "ff.net.2")
+    put_linear("norm_out_mod", "norm_out.linear")
+    put_linear("proj_out", "proj_out")
+
+    from thinkdiff_tpu.models.convert import _nest
+
+    return _nest(flat)
