@@ -1,0 +1,83 @@
+"""Multi-chip engine tests on the 8-device CPU mesh: embed engine and FLUX
+sampler run with rule-sharded params (TP over `model`, batch over `data`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_embed_engine import FakeTokenizer
+from thinkdiff_tpu.engines.embed_engine import EmbedEngine
+from thinkdiff_tpu.engines.flux_sampler import FluxSampler
+from thinkdiff_tpu.models.flux import FluxConfig, FluxTransformer
+from thinkdiff_tpu.models.qwen2_vl import Qwen2VLConfig, Qwen2VLModel, Qwen2VisionTower
+from thinkdiff_tpu.parallel.mesh import make_mesh
+
+
+def test_embed_engine_on_mesh():
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    # head-compatible tiny config: dims divisible by mesh axes
+    from thinkdiff_tpu.models.qwen2_vl import Qwen2VLVisionConfig
+
+    cfg = Qwen2VLConfig.tiny(
+        hidden_size=128, intermediate_size=256, num_heads=4, num_kv_heads=2,
+        mrope_section=(4, 6, 6), vocab_size=512,
+        vision=Qwen2VLVisionConfig(
+            depth=2, embed_dim=32, hidden_size=128, num_heads=4,
+            patch_size=4, spatial_merge_size=2, temporal_patch_size=2,
+        ),
+    )
+    rng = jax.random.PRNGKey(0)
+    vision = Qwen2VisionTower(cfg.vision)
+    lm = Qwen2VLModel(cfg)
+    vp = vision.init(
+        rng, jnp.zeros((4, cfg.vision.patch_dim)),
+        jnp.zeros((4, cfg.vision.head_dim // 2)),
+        jnp.zeros((4, cfg.vision.head_dim // 2)), None,
+    )["params"]
+    lp = lm.init(
+        rng, input_ids=jnp.zeros((1, 4), jnp.int32),
+        position_ids=jnp.zeros((3, 1, 4), jnp.int32),
+    )["params"]
+    engine = EmbedEngine(
+        cfg, {"vision": vp, "lm": lp}, FakeTokenizer(),
+        max_tokens=4, min_tokens=1, temperature=0.0, top_p=1.0,
+        eos_ids=[], ignore_eos=True, min_pixels=8 * 8, max_pixels=64 * 64,
+        mesh=mesh,
+    )
+    # sharded weights actually sharded?
+    k = engine.params["lm"]["decoder"]["layer_0"]["self_attn"]["q_proj"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+
+    from PIL import Image
+
+    imgs = [Image.new("RGB", (16, 16), (i * 30, 10, 10)) for i in range(8)]
+    result = engine.generate(
+        {"images": imgs, "answers": [f"q{i}" for i in range(8)]}, seed=0
+    )
+    assert len(result.texts) == 8
+    assert all(len(t) == 4 for t in result.output_token_ids)
+    assert np.isfinite(result.hidden_states[0]).all()
+
+
+def test_flux_sampler_on_mesh():
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    cfg = FluxConfig.tiny(hidden_size=128, num_heads=4, axes_dims_rope=(8, 12, 12))
+    model = FluxTransformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng, jnp.zeros((1, 4, cfg.in_channels)),
+        jnp.zeros((1, 2, cfg.joint_attention_dim)),
+        jnp.zeros((1, cfg.pooled_projection_dim)), jnp.ones((1,)),
+        jnp.zeros((4, 3)), jnp.zeros((2, 3)), jnp.ones((1,)),
+    )["params"]
+    sampler = FluxSampler(cfg, params, mesh=mesh)
+    rs = np.random.RandomState(0)
+    latents = sampler.sample(
+        rs.randn(2, 2, cfg.joint_attention_dim).astype(np.float32),
+        rs.randn(2, cfg.pooled_projection_dim).astype(np.float32),
+        height=32, width=32, num_steps=2, seed=0, output_latents=True,
+    )
+    assert latents.shape == (2, 4, cfg.in_channels)  # 32px -> 4x4 latent -> 4 packed
+    assert np.isfinite(np.asarray(latents, np.float32)).all()

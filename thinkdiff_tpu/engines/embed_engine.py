@@ -149,8 +149,17 @@ class EmbedEngine:
                  temperature: float = 0.6, top_p: float = 0.9,
                  ignore_eos: bool = False, eos_ids: Sequence[int] = (),
                  system_prompt: str = DEFAULT_SYSTEM,
-                 min_pixels: int = 56 * 56, max_pixels: int = 12845056):
+                 min_pixels: int = 56 * 56, max_pixels: int = 12845056,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving: weights sharded by the PartitionSpec rules
+            # (tensor parallel over `model`, ZeRO-style over `fsdp`); batch
+            # dims shard over `data` implicitly through GSPMD propagation.
+            from thinkdiff_tpu.parallel.sharding import shard_params
+
+            params = {k: shard_params(v, mesh) for k, v in params.items()}
         self.params = params
         self.tokenizer = tokenizer
         self.max_prompt_len = max_prompt_len

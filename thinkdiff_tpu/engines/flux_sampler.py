@@ -58,8 +58,18 @@ def flux_sigmas(num_steps: int, image_seq_len: int,
 class FluxSampler:
     def __init__(self, cfg: FluxConfig, params: Dict[str, Any],
                  vae_cfg: Optional[VAEConfig] = None,
-                 vae_params: Optional[Dict[str, Any]] = None):
+                 vae_params: Optional[Dict[str, Any]] = None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # 12B-param MMDiT doesn't fit one v5e chip in bf16: shard the
+            # attention/MLP projections over the `model` axis (the rules in
+            # parallel/sharding.py match to_q/to_k/to_v/proj patterns).
+            from thinkdiff_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+            if vae_params is not None:
+                vae_params = shard_params(vae_params, mesh)
         self.params = params
         self.vae_cfg = vae_cfg
         self.vae_params = vae_params

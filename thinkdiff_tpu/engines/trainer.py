@@ -52,8 +52,12 @@ class Trainer:
 
     # -- state --------------------------------------------------------------
     def init_state(self) -> Dict[str, Any]:
+        # copy=True: device_put of an already-placed array is a no-op, and the
+        # donated train_step would otherwise delete the model's own buffers.
         params = jax.tree.map(
-            lambda x: jax.device_put(jnp.asarray(x, jnp.float32), self.replicated),
+            lambda x: jax.device_put(
+                jnp.array(x, jnp.float32, copy=True), self.replicated
+            ),
             self.model.trainable_params(),
         )
         opt_state = jax.device_put(self.tx.init(params), self.replicated)

@@ -50,6 +50,7 @@ class T5Config:
     feed_forward_proj: str = "gated-gelu"  # flan-t5; "relu" for t5v1.0
     tie_word_embeddings: bool = False
     dropout_rate: float = 0.1
+    remat: bool = False  # jax.checkpoint each block: activations -> recompute
     dtype: Any = jnp.float32
 
     @property
@@ -239,9 +240,11 @@ class T5Encoder(nn.Module):
             input_embeds.shape[1], input_embeds.shape[1]
         )
         x = nn.Dropout(cfg.dropout_rate)(input_embeds, deterministic=deterministic)
+        block_cls = (nn.remat(T5Block, static_argnums=(5,)) if cfg.remat
+                     else T5Block)
         for i in range(cfg.num_layers):
-            x = T5Block(cfg, causal=False, has_cross=False, name=f"block_{i}")(
-                x, self_bias=bias, self_mask=mask, deterministic=deterministic
+            x = block_cls(cfg, causal=False, has_cross=False, name=f"block_{i}")(
+                x, None, bias, mask, None, deterministic
             )
         x = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
                         name="final_norm")(x)
@@ -258,11 +261,11 @@ class T5Decoder(nn.Module):
         t = input_embeds.shape[1]
         bias = T5RelativeBias(cfg, bidirectional=False, name="rel_bias")(t, t)
         x = nn.Dropout(cfg.dropout_rate)(input_embeds, deterministic=deterministic)
+        block_cls = (nn.remat(T5Block, static_argnums=(5,)) if cfg.remat
+                     else T5Block)
         for i in range(cfg.num_decoder_layers):
-            x = T5Block(cfg, causal=True, has_cross=True, name=f"block_{i}")(
-                x, encoder_states=encoder_states, self_bias=bias,
-                self_mask=self_mask, cross_mask=cross_mask,
-                deterministic=deterministic,
+            x = block_cls(cfg, causal=True, has_cross=True, name=f"block_{i}")(
+                x, encoder_states, bias, self_mask, cross_mask, deterministic,
             )
         x = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
                         name="final_norm")(x)
