@@ -234,7 +234,7 @@ def mha_reference(q, k, v, bias=None, causal: bool = False,
 )
 def flash_attention(
     q, k, v, bias=None, causal: bool = False,
-    sm_scale: Optional[float] = None, block_q: int = 128, block_k: int = 128,
+    sm_scale: Optional[float] = None, block_q: int = 512, block_k: int = 1024,
 ):
     """Flash attention; pallas on TPU, naive XLA elsewhere."""
     if sm_scale is None:
