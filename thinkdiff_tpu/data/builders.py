@@ -150,6 +150,7 @@ class CCSBUBuilder(BaseDatasetBuilder):
             assert state["t5_tok"] is not None, "tokenizer not injected"
             collator = CaptionSplitCollator(
                 state["t5_tok"], max_txt_len=int(cfg.get("max_txt_len", 128)),
+                use_biased_split=bool(cfg.get("use_biased_random_split", False)),
             )
             pipe = WebDatasetPipeline(
                 storage, resample=True, shuffle_buffer=1000,
@@ -216,6 +217,10 @@ class LlavaInstructEmbedBuilder(BaseDatasetBuilder):
                 output_embed_max_split_len=int(
                     build_info.get("output_embed_max_split_len", 128)),
                 max_txt_len=int(cfg.get("max_txt_len", 128)),
+                t5_add_special_tokens_prob=cfg.get(
+                    "t5_tokenizer_add_special_tokens_prob", None),
+                generated_text_key=cfg.get(
+                    "mllama_generated_text_key", "generated_text"),
                 seed=seed,
             )
             pipe = WebDatasetPipeline(

@@ -163,9 +163,11 @@ class EmbedShardCollator:
                  output_embed_max_split_len: int = 128,
                  max_txt_len: int = 128,
                  t5_add_special_tokens_prob: Optional[float] = None,
+                 generated_text_key: str = "generated_text",
                  seed: Optional[int] = None):
         self.tok = t5_tokenizer
         self.vlm_decode = vlm_decode_fn
+        self.generated_text_key = generated_text_key
         self.use_input_embed = use_input_embed
         self.use_output_embed = use_output_embed
         self.random_split = random_split_output_embed
@@ -233,7 +235,7 @@ class EmbedShardCollator:
         elif self.use_input_embed:
             batch["embeds"] = batch.pop("input_embeds")
             batch["embed_mask"] = batch.pop("input_embed_mask")
-            texts = [s["json"].get("generated_text", "") for s in samples]
+            texts = [s["json"].get(self.generated_text_key, "") for s in samples]
             batch["labels"] = self._tokenize_targets(texts)
         return batch
 

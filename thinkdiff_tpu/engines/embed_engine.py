@@ -150,7 +150,7 @@ class EmbedEngine:
                  ignore_eos: bool = False, eos_ids: Sequence[int] = (),
                  system_prompt: str = DEFAULT_SYSTEM,
                  min_pixels: int = 56 * 56, max_pixels: int = 12845056,
-                 mesh=None):
+                 limit_images_per_prompt: Optional[int] = None, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -172,6 +172,7 @@ class EmbedEngine:
         self.system_prompt = system_prompt
         self.min_pixels = min_pixels
         self.max_pixels = max_pixels
+        self.limit_images_per_prompt = limit_images_per_prompt
         self.vision = Qwen2VisionTower(cfg.vision)
         self.lm = Qwen2VLModel(cfg)
         self._prefill_fn = None
@@ -207,6 +208,9 @@ class EmbedEngine:
         im_end = tokenizer.convert_tokens_to_ids("<|im_end|>")
         if im_end is not None and im_end not in eos:
             eos.append(im_end)
+        limit_mm = vcfg.get("limit_mm_per_prompt", None)
+        if isinstance(limit_mm, dict):
+            limit_mm = limit_mm.get("image")
         return cls(
             cfg, params, tokenizer,
             max_prompt_len=min(int(vcfg.get("max_model_len", 8192)), 8192),
@@ -216,6 +220,7 @@ class EmbedEngine:
             top_p=float(vcfg.get("top_p", 0.9)),
             ignore_eos=bool(vcfg.get("ignore_eos", False)),
             eos_ids=eos,
+            limit_images_per_prompt=limit_mm,
         )
 
     # -- prompt building ----------------------------------------------------
@@ -380,6 +385,10 @@ class EmbedEngine:
         per_sample_grids: List[List[Tuple[int, int, int]]] = []
         for img_entry in images_per_sample:
             imgs = img_entry if isinstance(img_entry, (list, tuple)) else [img_entry]
+            if self.limit_images_per_prompt is not None:
+                # vllm_config.limit_mm_per_prompt parity (reference
+                # mllama_vllm_t5_embed_decoder_2.py:790-823)
+                imgs = list(imgs)[: self.limit_images_per_prompt]
             grids = []
             for img in imgs:
                 patches, grid = preprocess_image(
