@@ -558,6 +558,10 @@ class MllamaVllmGenerateModel:
         self.engine = engine if engine is not None else EmbedEngine.from_config(cfg)
         vcfg = cfg.get("vllm_config", {}) or {}
         self.embedding_layer_name = vcfg.get("embedding_layer_name", "model.norm")
+        # device-batch size — the scheduler role vLLM's continuous batcher
+        # plays (reference dataset batch_size is 8192 with vLLM scheduling
+        # internally; configs/qwen2_vl_embed_ccsbu.yaml max_num_seqs)
+        self.max_num_seqs = int(vcfg.get("max_num_seqs", 32))
 
     @classmethod
     def from_config(cls, cfg):
@@ -567,14 +571,50 @@ class MllamaVllmGenerateModel:
         pass  # frozen inference model
 
     def forward(self, batch: Dict[str, Any]) -> Dict[str, Any]:
-        result = self.engine.generate(batch)
+        """Host batch (any size) -> length-sorted device chunks of
+        ``max_num_seqs`` -> merged results in the original order."""
+        n = len(batch["answers"])
+        images = batch.get("images", [None] * n)
+
+        def est_tokens(i):
+            img = images[i]
+            imgs = img if isinstance(img, (list, tuple)) else [img]
+            total = 0
+            for im in imgs:
+                if im is None:
+                    continue
+                w, h = getattr(im, "size", (448, 448))
+                hb, wb = smart_resize(
+                    h, w, self.engine.cfg.vision.patch_size
+                    * self.engine.cfg.vision.spatial_merge_size,
+                    self.engine.min_pixels, self.engine.max_pixels,
+                )
+                total += (hb // 28) * (wb // 28)
+            return total
+
+        order = sorted(range(n), key=est_tokens)
+        out: Dict[int, Any] = {}
+        for start in range(0, n, self.max_num_seqs):
+            idxs = order[start: start + self.max_num_seqs]
+            sub = {
+                "images": [images[i] for i in idxs],
+                "answers": [batch["answers"][i] for i in idxs],
+            }
+            result = self.engine.generate(sub, seed=start)
+            for j, i in enumerate(idxs):
+                out[i] = (
+                    result.texts[j], result.input_prompts[j],
+                    result.prompt_token_ids[j], result.output_token_ids[j],
+                    result.prompt_hidden_states[j], result.hidden_states[j],
+                )
+        cols = list(zip(*[out[i] for i in range(n)]))
         return {
-            "generated_texts": result.texts,
-            "input_prompts": result.input_prompts,
-            "prompt_token_ids": result.prompt_token_ids,
-            "output_token_ids": result.output_token_ids,
-            "prompt_hidden_states": result.prompt_hidden_states,
-            "hidden_states": result.hidden_states,
+            "generated_texts": list(cols[0]),
+            "input_prompts": list(cols[1]),
+            "prompt_token_ids": list(cols[2]),
+            "output_token_ids": list(cols[3]),
+            "prompt_hidden_states": list(cols[4]),
+            "hidden_states": list(cols[5]),
             "embedding_layer_name": self.embedding_layer_name,
         }
 
