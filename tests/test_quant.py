@@ -1,0 +1,59 @@
+"""Weight-only int8 quantization of frozen towers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thinkdiff_tpu.core.config import ConfigNode
+from thinkdiff_tpu.models.aligner_lvlm import MllamaT5EmbedDecoder
+from thinkdiff_tpu.ops.quant import dequantize_weight, quantize_tree, quantize_weight
+
+TINY_T5 = dict(vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+               num_decoder_layers=2, num_heads=4, dropout_rate=0.0)
+
+
+def test_quantize_roundtrip_error_bounded():
+    rs = np.random.RandomState(0)
+    w = rs.randn(64, 32).astype(np.float32)
+    qw = quantize_weight(w)
+    assert qw["q"].dtype == np.int8 and qw["scale"].shape == (32,)
+    back = np.asarray(dequantize_weight(qw), np.float32)
+    err = np.abs(back - w) / (np.abs(w).max(0, keepdims=True) + 1e-9)
+    # half-LSB int8 + bf16 dequant rounding
+    assert err.max() < 1.0 / 127 + 1.0 / 128
+
+
+def test_quantize_tree_layout():
+    params = {"attn": {"q": {"kernel": np.random.randn(8, 8).astype(np.float32)},
+                       "norm": {"weight": np.ones(8, np.float32)}}}
+    out = quantize_tree(params, min_size=0)
+    assert "kernel_q" in out["attn"]["q"] and "kernel_scale" in out["attn"]["q"]
+    assert "kernel" not in out["attn"]["q"]
+    assert out["attn"]["norm"]["weight"].dtype == np.float32
+
+
+def test_lvlm_quantized_loss_close_to_fp():
+    cfg_fp = ConfigNode({"dtype": "float32", "load_pretrained": False,
+                         "vlm_hidden_size": 24, "t5_config": TINY_T5})
+    cfg_q = ConfigNode({"dtype": "float32", "load_pretrained": False,
+                        "vlm_hidden_size": 24, "t5_config": TINY_T5,
+                        "quantize_frozen": "int8"})
+    m_fp = MllamaT5EmbedDecoder(cfg_fp, seed=0)
+    m_q = MllamaT5EmbedDecoder(cfg_q, seed=0)
+    rs = np.random.RandomState(1)
+    batch = {
+        "embeds": jnp.asarray(rs.randn(2, 7, 24), jnp.float32),
+        "embed_mask": jnp.ones((2, 7), jnp.int32),
+        "labels": jnp.asarray(rs.randint(1, 128, (2, 5))),
+    }
+    loss_fp = float(m_fp.loss_fn(m_fp.trainable, m_fp.frozen, batch))
+    loss_q = float(m_q.loss_fn(m_q.trainable, m_q.frozen, batch))
+    assert np.isfinite(loss_q)
+    assert abs(loss_q - loss_fp) / loss_fp < 0.05  # weight-only int8 drift
+
+    # grads still flow to the projector through dequantized matmuls
+    g = jax.grad(m_q.loss_fn)(m_q.trainable, m_q.frozen, batch)
+    gnorm = jax.tree.reduce(lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0)
+    assert gnorm > 0

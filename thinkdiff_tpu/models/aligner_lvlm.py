@@ -58,8 +58,13 @@ class MllamaT5EmbedDecoder(BaseModel):
         super().__init__(cfg)
         cfg = self.cfg
         self.dtype = str_to_dtype(cfg.get("dtype", "bfloat16"))
+        self.quantize_frozen = cfg.get("quantize_frozen", None) == "int8"
         t5_over = dict(cfg.get("t5_config", {}))
-        self.t5_cfg = T5Config(**{**dict(dtype=self.dtype, dropout_rate=0.0), **t5_over})
+        self.t5_cfg = T5Config(**{
+            **dict(dtype=self.dtype, dropout_rate=0.0,
+                   quant_int8=self.quantize_frozen),
+            **t5_over,
+        })
         self.t5 = T5ForConditionalGeneration(self.t5_cfg)
         self.vlm_hidden = int(
             cfg.get("vlm_hidden_size")
@@ -75,12 +80,39 @@ class MllamaT5EmbedDecoder(BaseModel):
         self._build_params(seed)
 
     def _build_params(self, seed: int):
+        import dataclasses as _dc
+
         cfg = self.cfg
         rng = jax.random.PRNGKey(seed)
         ids = jnp.zeros((1, 4), jnp.int32)
-        t5_vars = self.t5.init(
-            {"params": rng, "dropout": rng}, input_ids=ids, decoder_input_ids=ids
+        # init/load always at full precision; quantize afterwards. Init on
+        # CPU when quantizing so the fp tower never spikes device HBM.
+        t5_fp = T5ForConditionalGeneration(
+            _dc.replace(self.t5_cfg, quant_int8=False)
         )
+
+        def _init_fp():
+            return t5_fp.init(
+                {"params": rng, "dropout": rng},
+                input_ids=ids, decoder_input_ids=ids,
+            )
+
+        if self.quantize_frozen:
+            # no device compute: shapes via eval_shape, host random values
+            # (real use converts HF weights instead — convert_t5 path)
+            import numpy as _np
+
+            shapes = jax.eval_shape(_init_fp)
+            host_rng = _np.random.RandomState(seed)
+
+            def materialize(s):
+                if _np.issubdtype(_np.dtype(s.dtype), _np.floating):
+                    return host_rng.normal(0, 0.05, s.shape).astype(s.dtype)
+                return _np.zeros(s.shape, s.dtype)
+
+            t5_vars = jax.tree.map(materialize, shapes)
+        else:
+            t5_vars = _init_fp()
         t5_path = cfg.get("text_pretrained_model_name_or_path", "google/flan-t5-xxl")
         if cfg.get("load_pretrained", True):
             sd = maybe_load_hf_weights(t5_path)
@@ -93,6 +125,10 @@ class MllamaT5EmbedDecoder(BaseModel):
             encoder_final_norm = t5_params["encoder"].get("final_norm", {}).get("weight")
             # encoder deleted (reference :703) — decoder-only conditioning.
             del t5_params["encoder"]
+        if self.quantize_frozen:
+            from thinkdiff_tpu.ops.quant import quantize_tree
+
+            t5_params = quantize_tree(t5_params, min_size=0)
         self.frozen = {"t5": t5_params}
 
         proj_vars = self.projector.init(

@@ -51,6 +51,7 @@ class T5Config:
     tie_word_embeddings: bool = False
     dropout_rate: float = 0.1
     remat: bool = False  # jax.checkpoint each block: activations -> recompute
+    quant_int8: bool = False  # weight-only int8 for the frozen tower
     dtype: Any = jnp.float32
 
     @property
@@ -103,6 +104,41 @@ def relative_position_bucket(relative_position, bidirectional: bool,
     return ret + jnp.where(is_small, n, val_if_large)
 
 
+class QDense(nn.Module):
+    """Dense without bias; optionally stores the kernel as int8 + per-output
+    f32 scales (weight-only quantization for FROZEN params; dequant fuses
+    into the matmul). Param layout matches ops/quant.quantize_tree."""
+
+    features: int
+    dtype: Any = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        if self.quant:
+            q = self.param(
+                "kernel_q",
+                lambda rng, shape: jnp.zeros(shape, jnp.int8),
+                (in_dim, self.features),
+            )
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,),
+                jnp.float32,
+            )
+            # scale on the OUTPUT: the int8->bf16 convert fuses into the dot
+            # (a pre-scaled kernel would materialize a full bf16 weight copy)
+            y = jnp.dot(x.astype(self.dtype), q.astype(self.dtype),
+                        preferred_element_type=self.dtype)
+            return y * scale.astype(self.dtype)[None]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_dim, self.features), self.dtype,
+        )
+        return jnp.dot(x.astype(self.dtype), kernel,
+                       preferred_element_type=self.dtype)
+
+
 class T5LayerNorm(nn.Module):
     dim: int
     eps: float = 1e-6
@@ -128,10 +164,8 @@ class T5Attention(nn.Module):
         """
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
-        dense = lambda name: nn.Dense(
-            inner, use_bias=False, name=name, dtype=cfg.dtype,
-            param_dtype=cfg.dtype,
-        )
+        dense = lambda name: QDense(inner, dtype=cfg.dtype,
+                                    quant=cfg.quant_int8, name=name)
         source = hidden if kv is None else kv
         q = dense("q")(hidden)
         k = dense("k")(source)
@@ -154,8 +188,8 @@ class T5Attention(nn.Module):
         # T5 has no 1/sqrt(d) scaling -> sm_scale=1.0
         out = flash_attention(q, k, v, bias, self.causal, 1.0)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
-        return nn.Dense(cfg.d_model, use_bias=False, name="o",
-                        dtype=cfg.dtype, param_dtype=cfg.dtype)(out)
+        return QDense(cfg.d_model, dtype=cfg.dtype, quant=cfg.quant_int8,
+                      name="o")(out)
 
 
 class T5RelativeBias(nn.Module):
@@ -186,10 +220,8 @@ class T5FFN(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.cfg
-        dense = lambda feat, name: nn.Dense(
-            feat, use_bias=False, name=name, dtype=cfg.dtype,
-            param_dtype=cfg.dtype,
-        )
+        dense = lambda feat, name: QDense(feat, dtype=cfg.dtype,
+                                          quant=cfg.quant_int8, name=name)
         if cfg.is_gated:
             gate = cfg.act_fn(dense(cfg.d_ff, "wi_0")(x))
             up = dense(cfg.d_ff, "wi_1")(x)
@@ -284,9 +316,8 @@ class T5ForConditionalGeneration(nn.Module):
         self.encoder = T5Encoder(cfg, name="encoder")
         self.decoder = T5Decoder(cfg, name="decoder")
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                    name="lm_head", dtype=cfg.dtype,
-                                    param_dtype=cfg.dtype)
+            self.lm_head = QDense(cfg.vocab_size, dtype=cfg.dtype,
+                                  quant=cfg.quant_int8, name="lm_head")
 
     def encode(self, input_ids=None, attention_mask=None, input_embeds=None,
                extra_encoder_states=None, extra_attention_mask=None,
