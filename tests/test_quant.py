@@ -57,3 +57,33 @@ def test_lvlm_quantized_loss_close_to_fp():
     g = jax.grad(m_q.loss_fn)(m_q.trainable, m_q.frozen, batch)
     gnorm = jax.tree.reduce(lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0)
     assert gnorm > 0
+
+
+def test_qwen2_decoder_int8_close_to_fp():
+    import dataclasses
+
+    from thinkdiff_tpu.models.qwen2_vl import Qwen2VLConfig, Qwen2VLModel
+    from thinkdiff_tpu.ops.quant import quantize_tree
+
+    cfg_fp = Qwen2VLConfig.tiny()
+    model_fp = Qwen2VLModel(cfg_fp)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 200, (2, 6)))
+    pos = jnp.broadcast_to(jnp.arange(6)[None, None], (3, 2, 6))
+    params = model_fp.init(rng, input_ids=ids, position_ids=pos)["params"]
+    logits_fp, hidden_fp, _ = model_fp.apply(
+        {"params": params}, input_ids=ids, position_ids=pos)
+
+    cfg_q = dataclasses.replace(cfg_fp, quant_int8=True)
+    model_q = Qwen2VLModel(cfg_q)
+    params_q = quantize_tree(params, min_size=0)
+    logits_q, hidden_q, _ = model_q.apply(
+        {"params": params_q}, input_ids=ids, position_ids=pos)
+    # weight-only int8: hidden states deviate at the sub-percent level
+    rel = (np.abs(np.asarray(hidden_q) - np.asarray(hidden_fp)).max()
+           / (np.abs(np.asarray(hidden_fp)).max() + 1e-9))
+    assert rel < 0.05
+    # greedy next-token choice almost always preserved on random tiny nets —
+    # check argmax agreement rate
+    agree = (np.asarray(logits_q).argmax(-1) == np.asarray(logits_fp).argmax(-1)).mean()
+    assert agree > 0.8

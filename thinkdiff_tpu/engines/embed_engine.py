@@ -188,10 +188,12 @@ class EmbedEngine:
         path = model_cfg.get("mllama_pretrained_model_name_or_path",
                              "Qwen/Qwen2-VL-2B-Instruct")
         dtype = str_to_dtype(model_cfg.get("dtype", "bfloat16"))
+        vcfg_early = model_cfg.get("vllm_config", {}) or {}
+        quant = str(vcfg_early.get("quantization", "")).lower() == "int8"
         if "7B" in str(path):
-            cfg = Qwen2VLConfig.qwen2_vl_7b(dtype=dtype)
+            cfg = Qwen2VLConfig.qwen2_vl_7b(dtype=dtype, quant_int8=quant)
         else:
-            cfg = Qwen2VLConfig.qwen2_vl_2b(dtype=dtype)
+            cfg = Qwen2VLConfig.qwen2_vl_2b(dtype=dtype, quant_int8=quant)
         sd = maybe_load_hf_weights(path)
         if sd is None:
             raise FileNotFoundError(
@@ -200,6 +202,11 @@ class EmbedEngine:
             )
         params = convert_qwen2_vl(sd, dtype=np.dtype(jnp.bfloat16)
                                   if dtype == jnp.bfloat16 else None)
+        if quant:
+            from thinkdiff_tpu.ops.quant import quantize_tree
+
+            # decoder/lm_head only; the vision tower stays bf16
+            params["lm"] = quantize_tree(params["lm"], min_size=0)
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(path, local_files_only=True)

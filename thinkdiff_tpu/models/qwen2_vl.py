@@ -68,6 +68,7 @@ class Qwen2VLConfig:
     rope_theta: float = 1000000.0
     mrope_section: Sequence[int] = (16, 24, 24)
     tie_word_embeddings: bool = True
+    quant_int8: bool = False  # weight-only int8 decoder (inference)
     image_token_id: int = 151655
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
@@ -229,12 +230,14 @@ class Qwen2Attention(nn.Module):
         cfg = self.cfg
         b, t, _ = x.shape
         hd = cfg.head_dim
-        q = nn.Dense(cfg.num_heads * hd, name="q_proj", dtype=cfg.dtype,
-                     param_dtype=cfg.dtype)(x)
-        k = nn.Dense(cfg.num_kv_heads * hd, name="k_proj", dtype=cfg.dtype,
-                     param_dtype=cfg.dtype)(x)
-        v = nn.Dense(cfg.num_kv_heads * hd, name="v_proj", dtype=cfg.dtype,
-                     param_dtype=cfg.dtype)(x)
+        from thinkdiff_tpu.models.t5 import QDense
+
+        qd = lambda feat, name, bias: QDense(feat, dtype=cfg.dtype,
+                                             quant=cfg.quant_int8,
+                                             use_bias=bias, name=name)
+        q = qd(cfg.num_heads * hd, "q_proj", True)(x)
+        k = qd(cfg.num_kv_heads * hd, "k_proj", True)(x)
+        v = qd(cfg.num_kv_heads * hd, "v_proj", True)(x)
         q = q.reshape(b, t, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -254,8 +257,7 @@ class Qwen2Attention(nn.Module):
             out = decode_attention(q, k_cache, v_cache, cache_len + t)
             new_cache = (k_cache, v_cache)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * hd)
-        out = nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj",
-                       dtype=cfg.dtype, param_dtype=cfg.dtype)(out)
+        out = qd(cfg.hidden_size, "o_proj", False)(out)
         return out, new_cache
 
 
@@ -271,14 +273,14 @@ class Qwen2Block(nn.Module):
             norm("input_norm")(x), cos, sin, mask, cache, cache_len
         )
         x = x + h
+        from thinkdiff_tpu.models.t5 import QDense
+
+        qd = lambda feat, name: QDense(feat, dtype=cfg.dtype,
+                                       quant=cfg.quant_int8, name=name)
         y = norm("post_attn_norm")(x)
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, name="gate_proj",
-                        dtype=cfg.dtype, param_dtype=cfg.dtype)(y)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, name="up_proj",
-                      dtype=cfg.dtype, param_dtype=cfg.dtype)(y)
-        y = nn.Dense(cfg.hidden_size, use_bias=False, name="down_proj",
-                     dtype=cfg.dtype, param_dtype=cfg.dtype)(
-            jax.nn.silu(gate) * up)
+        gate = qd(cfg.intermediate_size, "gate_proj")(y)
+        up = qd(cfg.intermediate_size, "up_proj")(y)
+        y = qd(cfg.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
         return x + y, new_cache
 
 
@@ -332,9 +334,10 @@ class Qwen2VLModel(nn.Module):
                                      dtype=cfg.dtype, param_dtype=cfg.dtype)
         self.decoder = Qwen2Decoder(cfg, name="decoder")
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                    name="lm_head", dtype=cfg.dtype,
-                                    param_dtype=cfg.dtype)
+            from thinkdiff_tpu.models.t5 import QDense
+
+            self.lm_head = QDense(cfg.vocab_size, dtype=cfg.dtype,
+                                  quant=cfg.quant_int8, name="lm_head")
 
     def embed(self, input_ids):
         return self.embed_tokens(input_ids)

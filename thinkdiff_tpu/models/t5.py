@@ -105,13 +105,14 @@ def relative_position_bucket(relative_position, bidirectional: bool,
 
 
 class QDense(nn.Module):
-    """Dense without bias; optionally stores the kernel as int8 + per-output
-    f32 scales (weight-only quantization for FROZEN params; dequant fuses
-    into the matmul). Param layout matches ops/quant.quantize_tree."""
+    """Dense; optionally stores the kernel as int8 + per-output f32 scales
+    (weight-only quantization for FROZEN params; dequant fuses into the
+    matmul). Param layout matches ops/quant.quantize_tree."""
 
     features: int
     dtype: Any = jnp.float32
     quant: bool = False
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -130,13 +131,19 @@ class QDense(nn.Module):
             # (a pre-scaled kernel would materialize a full bf16 weight copy)
             y = jnp.dot(x.astype(self.dtype), q.astype(self.dtype),
                         preferred_element_type=self.dtype)
-            return y * scale.astype(self.dtype)[None]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (in_dim, self.features), self.dtype,
-        )
-        return jnp.dot(x.astype(self.dtype), kernel,
-                       preferred_element_type=self.dtype)
+            y = y * scale.astype(self.dtype)[None]
+        else:
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (in_dim, self.features), self.dtype,
+            )
+            y = jnp.dot(x.astype(self.dtype), kernel,
+                        preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.dtype)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class T5LayerNorm(nn.Module):
