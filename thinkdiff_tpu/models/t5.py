@@ -127,11 +127,23 @@ class QDense(nn.Module):
                 "kernel_scale", nn.initializers.ones, (self.features,),
                 jnp.float32,
             )
-            # scale on the OUTPUT: the int8->bf16 convert fuses into the dot
-            # (a pre-scaled kernel would materialize a full bf16 weight copy)
-            y = jnp.dot(x.astype(self.dtype), q.astype(self.dtype),
-                        preferred_element_type=self.dtype)
-            y = y * scale.astype(self.dtype)[None]
+            rows = 1
+            for dim in x.shape[:-1]:
+                rows *= dim
+            if rows <= 32 and jax.default_backend() in ("tpu", "axon"):
+                # decode gemv: XLA's convert doesn't fuse into narrow
+                # matvecs (measured 75x slow) — stream int8 in Pallas
+                from thinkdiff_tpu.ops.int8_matmul import int8_matmul
+
+                y = int8_matmul(x.astype(self.dtype), q, scale,
+                                out_dtype=self.dtype)
+            else:
+                # scale on the OUTPUT: the int8->bf16 convert fuses into
+                # large dots (a pre-scaled kernel would materialize a full
+                # bf16 weight copy)
+                y = jnp.dot(x.astype(self.dtype), q.astype(self.dtype),
+                            preferred_element_type=self.dtype)
+                y = y * scale.astype(self.dtype)[None]
         else:
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(),
