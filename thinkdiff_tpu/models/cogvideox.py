@@ -95,7 +95,9 @@ class CogVideoXBlock(nn.Module):
         d, h, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
         dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
                                             param_dtype=cfg.dtype)
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
+        # non-affine: CogVideoXLayerNormZero's modulation IS the affine
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, use_scale=False,
+                                       use_bias=False, name=name,
                                        dtype=cfg.dtype, param_dtype=cfg.dtype)
         st = txt.shape[1]
 
