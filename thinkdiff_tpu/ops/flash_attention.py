@@ -111,8 +111,11 @@ def _flash_attention_forward(
     assert num_heads % num_kv_heads == 0
     group = num_heads // num_kv_heads
 
-    block_q = min(block_q, max(q_len, 8))
-    block_k = min(block_k, max(kv_len, 8))
+    def _round16(v):
+        return -(-v // 16) * 16
+
+    block_q = min(block_q, _round16(max(q_len, 16)))
+    block_k = min(block_k, _round16(max(kv_len, 16)))
     q_pad = _cdiv(q_len, block_q) * block_q - q_len
     k_pad = _cdiv(kv_len, block_k) * block_k - kv_len
     if q_pad:
@@ -236,13 +239,15 @@ def flash_attention(
     q, k, v, bias=None, causal: bool = False,
     sm_scale: Optional[float] = None, block_q: int = 512, block_k: int = 1024,
 ):
-    """Flash attention; pallas on TPU for long sequences, naive XLA below
-    the measured crossover (~512: at B8 H64 T128 naive is ~15% faster and
-    the materialized scores are tiny) and on CPU."""
+    """Flash attention; pallas on TPU unless the whole score tensor is small
+    (naive XLA is slightly faster there AND the memory cost is trivial —
+    at training scale naive's materialized (B,H,Tq,Tk) f32 probs, saved for
+    backward, OOM a 16 GB chip)."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    long_seq = q.shape[-2] >= 512 and k.shape[-2] >= 512
-    if long_seq and jax.default_backend() in ("tpu", "axon"):
+    scores_elems = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
+    big = scores_elems >= (1 << 22) and q.shape[-2] >= 64 and k.shape[-2] >= 64
+    if big and jax.default_backend() in ("tpu", "axon"):
         return _flash_attention_forward(
             q, k, v, bias, causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_k=block_k,
