@@ -87,3 +87,26 @@ def test_qwen2_decoder_int8_close_to_fp():
     # check argmax agreement rate
     agree = (np.asarray(logits_q).argmax(-1) == np.asarray(logits_fp).argmax(-1)).mean()
     assert agree > 0.8
+
+
+def test_clip_aligner_quantized_trains():
+    from thinkdiff_tpu.models.aligner_clip import BlipVisionT5Decoder
+
+    tiny_vit = dict(hidden_size=16, intermediate_size=32, num_layers=2,
+                    num_heads=4, image_size=28, patch_size=14)
+    m = BlipVisionT5Decoder(ConfigNode({
+        "dtype": "float32", "load_pretrained": False,
+        "quantize_frozen": "int8", "t5_config": TINY_T5,
+        "vision_config": tiny_vit,
+    }))
+    rs = np.random.RandomState(0)
+    batch = {
+        "pixel_values": jnp.asarray(rs.randn(2, 28, 28, 3), jnp.float32),
+        "input_ids": jnp.asarray(rs.randint(1, 128, (2, 6))),
+        "input_mask": jnp.ones((2, 6), jnp.int32),
+        "labels": jnp.asarray(rs.randint(1, 128, (2, 5))),
+    }
+    loss, grads = jax.value_and_grad(m.loss_fn)(m.trainable, m.frozen, batch)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree.reduce(lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0)
+    assert gnorm > 0

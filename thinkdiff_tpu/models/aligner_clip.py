@@ -50,9 +50,14 @@ class BlipVisionT5Decoder(BaseModel):
         super().__init__(cfg)
         cfg = self.cfg
         self.dtype = str_to_dtype(cfg.get("dtype", "bfloat16"))
+        self.quantize_frozen = cfg.get("quantize_frozen", None) == "int8"
         t5_over = dict(cfg.get("t5_config", {}))
         vit_over = dict(cfg.get("vision_config", {}))
-        self.t5_cfg = T5Config(**{**dict(dtype=self.dtype, dropout_rate=0.0), **t5_over})
+        self.t5_cfg = T5Config(**{
+            **dict(dtype=self.dtype, dropout_rate=0.0,
+                   quant_int8=self.quantize_frozen),
+            **t5_over,
+        })
         self.vit_cfg = ViTConfig(**{**dict(dtype=self.dtype), **vit_over})
         self.t5 = T5ForConditionalGeneration(self.t5_cfg)
         self.vision = VisionTransformer(self.vit_cfg)
@@ -65,6 +70,8 @@ class BlipVisionT5Decoder(BaseModel):
 
     # -- parameters ---------------------------------------------------------
     def _build_params(self, seed: int):
+        import dataclasses as _dc
+
         cfg = self.cfg
         rng = jax.random.PRNGKey(seed)
         img = jnp.zeros(
@@ -72,9 +79,31 @@ class BlipVisionT5Decoder(BaseModel):
         )
         vis_vars = self.vision.init(rng, img)
         ids = jnp.zeros((1, 4), jnp.int32)
-        t5_vars = self.t5.init(
-            {"params": rng, "dropout": rng}, input_ids=ids, decoder_input_ids=ids
+        t5_fp = T5ForConditionalGeneration(
+            _dc.replace(self.t5_cfg, quant_int8=False)
         )
+
+        def _init_fp():
+            return t5_fp.init(
+                {"params": rng, "dropout": rng},
+                input_ids=ids, decoder_input_ids=ids,
+            )
+
+        if self.quantize_frozen:
+            # shapes only; host randoms (real use converts HF weights)
+            import numpy as _np
+
+            shapes = jax.eval_shape(_init_fp)
+            host_rng = _np.random.RandomState(seed)
+
+            def materialize(s):
+                if _np.issubdtype(_np.dtype(s.dtype), _np.floating):
+                    return host_rng.normal(0, 0.05, s.shape).astype(s.dtype)
+                return _np.zeros(s.shape, s.dtype)
+
+            t5_vars = jax.tree.map(materialize, shapes)
+        else:
+            t5_vars = _init_fp()
 
         blip_path = cfg.get("blip_pretrained_model_name_or_path",
                             "Salesforce/blip2-flan-t5-xxl")
@@ -90,7 +119,12 @@ class BlipVisionT5Decoder(BaseModel):
                 t5_vars = {"params": convert_t5(t5_sd, dtype=self.dtype)}
                 logger.info("Loaded T5 weights from %s", t5_path)
 
-        self.frozen = {"vision": vis_vars["params"], "t5": t5_vars["params"]}
+        t5_params = t5_vars["params"]
+        if self.quantize_frozen:
+            from thinkdiff_tpu.ops.quant import quantize_tree
+
+            t5_params = quantize_tree(t5_params, min_size=0)
+        self.frozen = {"vision": vis_vars["params"], "t5": t5_params}
 
         vis_dim = self.vit_cfg.hidden_size
         proj_vars = self.projector.init(rng, jnp.zeros((1, 1, vis_dim), self.dtype))
