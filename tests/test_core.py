@@ -95,6 +95,36 @@ def test_make_optimizer_updates_params():
     assert not np.allclose(np.asarray(new_params["dense"]["kernel"]), 1.0)
 
 
+def test_accum_grad_iters_schedule_in_micro_units():
+    """With accum_grad_iters=k, the LR applied at optimizer update n must be
+    schedule(n*k) in micro-iteration units (the reference steps its LR every
+    micro-iter, base_task.py:235), not schedule(n)."""
+    k = 4
+    run_cfg = {"lr_sched": "linear_warmup_cosine_lr", "init_lr": 1e-2,
+               "min_lr": 0.0, "warmup_lr": 0.0, "warmup_steps": 8,
+               "max_epoch": 1, "iters_per_epoch": 16, "weight_decay": 0.0,
+               "accum_grad_iters": k}
+    params = {"w": jnp.ones((4, 4))}
+    tx, schedule = make_optimizer(run_cfg, params)
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4))}
+    p = params
+    snapshots = []
+    # 2k micro-steps -> two real updates (at inner counts 0 and 1)
+    for i in range(2 * k):
+        updates, state = tx.update(grads, state, p)
+        p = jax.tree.map(lambda a, b: a + b, p, updates)
+        if (i + 1) % k == 0:
+            snapshots.append(float(p["w"][0, 0]))
+    # adam with constant unit grads: update magnitude ~= applied lr; the
+    # second update runs at inner count 1 -> schedule(1*k) in micro units
+    applied_lr = abs(snapshots[1] - snapshots[0])
+    micro_lr = float(schedule(1 * k))
+    wrong_lr = float(schedule(1))  # what an unscaled inner schedule would use
+    assert abs(applied_lr - micro_lr) / micro_lr < 0.10, (applied_lr, micro_lr)
+    assert abs(applied_lr - wrong_lr) / wrong_lr > 1.0
+
+
 def test_mesh_and_param_sharding():
     assert jax.device_count() == 8
     mesh = make_mesh(data=2, fsdp=2, model=2)

@@ -93,6 +93,26 @@ def test_pth_field_torch_interchange(tmp_path):
     np.testing.assert_allclose(sample["model.norm.output_embed.pth"], emb)
 
 
+def test_pth_field_bfloat16_decode(tmp_path):
+    """Reference/vLLM-written embed shards contain bfloat16 tensors; decode
+    must not crash (numpy has no bf16) and must preserve exact bits."""
+    torch = pytest.importorskip("torch")
+    import io as _io
+
+    import ml_dtypes
+
+    emb = torch.randn(5, 4, dtype=torch.bfloat16)
+    buf = _io.BytesIO()
+    torch.save(emb, buf)
+    with ShardWriter(str(tmp_path / "%06d.tar")) as w:
+        w.write({"__key__": "k0", "model.norm.output_embed.pth": buf.getvalue()})
+    (sample,) = tar_sample_iterator(str(tmp_path / "000000.tar"), decode=True)
+    got = sample["model.norm.output_embed.pth"]
+    assert got.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        got.astype(np.float32), emb.float().numpy())
+
+
 def test_chunked_sampler_coverage():
     s = ChunkedSampler(25, chunksize=10, shuffle=True, seed=1)
     idxs = list(s)

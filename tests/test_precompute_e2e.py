@@ -99,10 +99,11 @@ def test_precompute_to_training_roundtrip(tmp_path):
     assert "model.norm.output_embed.pth" in s
     js = s["json"]
     assert "generated_text" in js and "output_token_ids" in js
+    assert "output_text" in js  # reference field (image_text_process_data.py:100)
     emb = np.asarray(s["model.norm.output_embed.pth"])
     assert emb.shape == (len(js["output_token_ids"]), 64)
     assert np.asarray(s["model.norm.input_embed.pth"]).shape[0] == len(
-        js["prompt_token_ids"])
+        js["input_prompt_token_ids"])
 
     # ---- stage 2: train the aligner on those shards ----
     tiny_t5 = dict(vocab_size=300, d_model=32, d_kv=8, d_ff=64, num_layers=2,

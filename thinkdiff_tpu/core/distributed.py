@@ -30,15 +30,18 @@ def init_distributed_mode(run_cfg=None) -> None:
     global _initialized
     if _initialized:
         return
+    # Must run BEFORE any jax API that initializes the XLA backend
+    # (jax.process_count() would lock in a single-process world); only env
+    # vars are consulted here.
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator and jax.process_count() == 1:
+    if coordinator and int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1:
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator,
                 num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
                 process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
             )
-        except Exception as e:  # already initialized or single-process
+        except Exception as e:  # already initialized (e.g. by a launcher)
             logger.warning("jax.distributed.initialize skipped: %s", e)
     if run_cfg is not None:
         run_cfg["rank"] = get_rank()

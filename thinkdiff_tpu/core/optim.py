@@ -148,15 +148,25 @@ def make_optimizer(run_cfg: Dict[str, Any], params=None):
     wd = float(run_cfg.get("weight_decay", 0.05))
     beta2 = float(run_cfg.get("beta2", 0.999))
     mask = weight_decay_mask(params) if params is not None else None
+    accum = int(run_cfg.get("accum_grad_iters", 1))
+    # warmup_steps / max_epoch*iters_per_epoch are micro-iteration units (the
+    # reference steps the LR every micro-iter, base_task.py:235). MultiSteps
+    # advances the inner optimizer's count once per accum micro-iters, so the
+    # schedule the inner adamw sees must be stretched back to micro units.
+    inner_schedule = (
+        (lambda step: schedule(step * accum)) if accum > 1 else schedule
+    )
     tx = optax.adamw(
-        learning_rate=schedule, b1=0.9, b2=beta2,
+        learning_rate=inner_schedule, b1=0.9, b2=beta2,
         weight_decay=wd, mask=mask,
     )
     if run_cfg.get("use_clip_grad_norm", False):
         tx = optax.chain(
             optax.clip_by_global_norm(float(run_cfg.get("max_grad_norm", 1.0))), tx
         )
-    accum = int(run_cfg.get("accum_grad_iters", 1))
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    # The returned schedule stays in micro-step units (trainer metrics["lr"]
+    # is computed from the micro-step counter, matching the reference's
+    # per-iter LR logging).
     return tx, schedule

@@ -84,12 +84,22 @@ def decode_field(ext: str, data: bytes) -> Any:
         import torch
 
         obj = torch.load(io.BytesIO(data), map_location="cpu", weights_only=True)
-        try:
+        if not isinstance(obj, torch.Tensor):
+            return obj
+        if obj.dtype == torch.bfloat16:
+            # numpy has no native bfloat16: bit-cast through uint16 into
+            # ml_dtypes.bfloat16 (exact, and what reference/vLLM-written
+            # embed shards actually contain).
+            import ml_dtypes
             import numpy as np
 
+            return (
+                obj.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            )
+        try:
             return obj.numpy()
-        except AttributeError:
-            return obj
+        except TypeError:
+            return obj.float().numpy()
     return data
 
 

@@ -49,6 +49,7 @@ class Trainer:
             jax.device_put, model.frozen, sharding_tree(model.frozen, self.mesh)
         )
         self._jit_step = None
+        self._jit_eval = None
 
     # -- state --------------------------------------------------------------
     def init_state(self) -> Dict[str, Any]:
@@ -111,11 +112,12 @@ class Trainer:
 
     # -- eval ---------------------------------------------------------------
     def eval_step(self, state, batch) -> jnp.ndarray:
-        @jax.jit
-        def step(params, frozen, batch):
-            return self.model.loss_fn(params, frozen, batch, None)
-
-        return step(state["params"], self.frozen, batch)
+        if self._jit_eval is None:
+            loss_fn = self.model.loss_fn
+            self._jit_eval = jax.jit(
+                lambda params, frozen, batch: loss_fn(params, frozen, batch, None)
+            )
+        return self._jit_eval(state["params"], self.frozen, batch)
 
 
 def global_batch_slices(batch: Dict[str, np.ndarray], mesh) -> Dict[str, Any]:

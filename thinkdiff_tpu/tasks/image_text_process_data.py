@@ -52,10 +52,17 @@ class ImageTextProcessDataTask(BaseTask):
                 n = len(result["generated_texts"])
                 for i in range(n):
                     json_payload = dict(batch["jsons"][i]) if batch.get("jsons") else {}
+                    # Field names match the reference shard contract exactly
+                    # (reference image_text_process_data.py:96-101:
+                    # generated_text / input_prompt / input_prompt_token_ids /
+                    # output_text / output_token_ids).
                     json_payload.update({
                         "generated_text": result["generated_texts"][i],
                         "input_prompt": result["input_prompts"][i],
-                        "prompt_token_ids": [int(t) for t in result["prompt_token_ids"][i]],
+                        "input_prompt_token_ids": [
+                            int(t) for t in result["prompt_token_ids"][i]
+                        ],
+                        "output_text": result["generated_texts"][i],
                         "output_token_ids": [int(t) for t in result["output_token_ids"][i]],
                     })
                     sample = {
