@@ -93,3 +93,27 @@ def test_pipeline_compose_and_encode_prompt():
     embeds, pooled = pipe.encode_prompt("", cond)
     assert embeds.shape == (1, 8, cfg.joint_attention_dim)
     assert pooled.shape == (1, cfg.pooled_projection_dim)  # zero fallback
+
+
+def test_wandb_optional_dependency(tmp_path):
+    """wandb_log: True must degrade to a warning when wandb is absent
+    (reference train.py:92-97 hard-requires it; we must not)."""
+    import yaml as _yaml
+
+    from thinkdiff_tpu.core.config import Config
+    from thinkdiff_tpu.core.logging import init_wandb, wandb_log
+
+    cfg_path = tmp_path / "w.yaml"
+    cfg_path.write_text(_yaml.safe_dump({
+        "model": {"arch": "x"}, "datasets": {},
+        "run": {"task": "t", "wandb_log": True},
+    }))
+    cfg = Config(cfg_path=str(cfg_path))
+    try:
+        import wandb  # noqa: F401
+        has_wandb = True
+    except ImportError:
+        has_wandb = False
+    if not has_wandb:
+        assert init_wandb(cfg, "job") is None
+    wandb_log({"loss": 1.0})  # no-op without an active run, must not raise

@@ -168,3 +168,74 @@ def test_lvlm_aligner_training_e2e(tmp_path):
     runner, stats = _run_training(cfg, tmp_path, model_patch=patch)
     assert float(stats["loss"]) > 0
     assert int(runner.state["step"]) == 5
+
+
+def test_multi_dataset_mixing_eval_and_accum(tmp_path):
+    """Reference runner features in one run: two ratio-mixed train datasets
+    (MultiIterLoader, reference runner_base.py:181-274 + sample_ratio),
+    an evaluation_datasets section with valid_splits + use_dist_eval_sampler,
+    and accum_grad_iters > 1 (reference base_task.py:247-258)."""
+    storage_a = _make_caption_shards(tmp_path, n=24)
+    # second dataset: distinct captions via a second shard family
+    sub = tmp_path / "b"
+    sub.mkdir()
+    storage_b = _make_caption_shards(sub, n=24)
+    cfg = {
+        "model": {
+            "arch": "blip-vision-t5-decoder",
+            "dtype": "float32", "load_pretrained": False,
+            "mm_projector_type": "mlp2x_gelu_t5_norm",
+            "max_txt_len": 8,  # model-section knob (reference placement)
+            "t5_config": TINY_T5, "vision_config": TINY_VIT,
+        },
+        "datasets": {
+            "cc_sbu": {"batch_size": 8, "sample_ratio": 3,
+                       "vis_processor": {"train": {
+                           "name": "blip2_image_train", "image_size": 28}},
+                       "build_info": {"storage": storage_a}},
+            "cc_sbu_b": {"batch_size": 8, "sample_ratio": 1,
+                         "vis_processor": {"train": {
+                             "name": "blip2_image_train", "image_size": 28}},
+                         "build_info": {"storage": storage_b}},
+        },
+        "evaluation_datasets": {
+            "cc_sbu_eval": {"batch_size": 8, "resample": False,
+                            "vis_processor": {"eval": {
+                                "name": "blip2_image_eval", "image_size": 28}},
+                            "build_info": {"storage": storage_a}},
+        },
+        "run": {
+            "task": "image_text_pretrain", "runner": "runner_clip_t5",
+            "lr_sched": "linear_warmup_cosine_lr",
+            "init_lr": 1e-2, "min_lr": 1e-3, "warmup_lr": 1e-6,
+            "warmup_steps": 2, "weight_decay": 0.05,
+            "accum_grad_iters": 2,
+            "max_epoch": 1, "iters_per_epoch": 4, "seed": 42,
+            "valid_splits": ["eval"], "use_dist_eval_sampler": False,
+            "max_eval_batches": 2,
+            "output_dir": str(tmp_path / "out"),
+        },
+    }
+    import thinkdiff_tpu.data  # noqa: F401
+    from thinkdiff_tpu.core.registry import registry
+    from thinkdiff_tpu.data.builders import CCSBUBuilder
+
+    # alias builders so two dataset sections + an eval section can coexist
+    for alias in ("cc_sbu_b", "cc_sbu_eval"):
+        if registry.get_builder_class(alias) is None:
+            registry.register_builder(alias)(
+                type(alias, (CCSBUBuilder,), {}))
+
+    runner, stats = _run_training(cfg, tmp_path, job_id="mix")
+    assert float(stats["loss"]) > 0
+    # 4 micro-iters at accum 2 -> state step counts micro-steps
+    assert int(runner.state["step"]) == 4
+    # eval ran and logged
+    log = os.path.join(runner.output_dir, "log.txt")
+    lines = [json.loads(line) for line in open(log)]
+    assert any("eval_loss" in e for e in lines), lines
+    # the train loader really was a ratio mixer
+    loader = runner.train_loader(epoch=0)
+    from thinkdiff_tpu.data.pipeline import MultiIterLoader
+    assert isinstance(loader, MultiIterLoader)
+    assert abs(loader.ratios[0] - 0.75) < 1e-6

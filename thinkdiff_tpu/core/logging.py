@@ -165,3 +165,34 @@ def setup_logger(level=None):
         format="%(asctime)s [%(levelname)s] %(name)s: %(message)s",
         force=True,
     )
+
+
+# -- optional wandb (reference train.py:92-97, base_task.py:260-261) ---------
+_wandb = None
+
+
+def init_wandb(cfg, job_id: str):
+    """Initialize wandb if installed; returns the run or None. Never a hard
+    dependency — absence degrades to a one-line warning."""
+    global _wandb
+    try:
+        import wandb
+    except ImportError:
+        logging.getLogger(__name__).warning(
+            "wandb_log requested but wandb is not installed; "
+            "continuing without it")
+        return None
+    run_cfg = cfg.run_cfg
+    _wandb = wandb
+    wandb.init(
+        project=str(run_cfg.get("wandb_project_name", "thinkdiff_tpu")),
+        name=str(run_cfg.get("job_name", job_id)),
+        config=cfg.to_dict(),
+    )
+    return wandb.run
+
+
+def wandb_log(metrics):
+    """Per-step metric log when a wandb run is active (no-op otherwise)."""
+    if _wandb is not None and getattr(_wandb, "run", None) is not None:
+        _wandb.log(metrics)

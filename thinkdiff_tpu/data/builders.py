@@ -24,6 +24,15 @@ from thinkdiff_tpu.data.wids_reader import ChunkedSampler, ShardListDataset
 
 logger = logging.getLogger(__name__)
 
+# The reference's mllama_generated_text_key names the BATCH key its collater
+# emits (reference llava_instruct_dataset_mllama_embed_2.py:168-176); the
+# per-sample shard JSON field drops the plural. Translate the two known
+# reference values; anything else is taken as a literal JSON field name.
+_GENERATED_TEXT_BATCH_KEYS = {
+    "generated_texts": "generated_text",
+    "revised_generated_texts": "revised_generated_text",
+}
+
 
 class DatasetBundle:
     """One split's data source + collator wiring."""
@@ -51,8 +60,23 @@ class DatasetBundle:
 class BaseDatasetBuilder:
     DEFAULT_CONFIG: Dict[str, Any] = {}
 
-    def __init__(self, cfg: Optional[ConfigNode] = None):
+    def __init__(self, cfg: Optional[ConfigNode] = None, model_cfg=None):
         self.config = cfg if cfg is not None else ConfigNode()
+        self.model_cfg = model_cfg if model_cfg is not None else {}
+
+    def knob(self, name: str, default=None):
+        """Behavior knob lookup: dataset section first, then the model
+        section. The reference declares collation-affecting knobs
+        (max_txt_len, use_biased_random_split,
+        t5_tokenizer_add_special_tokens_prob, mllama_generated_text_key, ...)
+        on the MODEL config (reference train_thinkdiff_lvlm_ccsbu.yaml:10-19,
+        mllama_vllm_t5_embed_decoder_2.py:310-357) and applies them inside
+        model.forward; here collation is loader-side, so builders must see
+        the model section for reference YAMLs to behave identically."""
+        v = self.config.get(name, None)
+        if v is None:
+            v = self.model_cfg.get(name, None) if self.model_cfg else None
+        return default if v is None else v
 
     @classmethod
     def default_config_path(cls, type: str = "default") -> Optional[str]:
@@ -65,11 +89,13 @@ class BaseDatasetBuilder:
         raise NotImplementedError
 
     def _vis_processor(self, split: str = "train"):
-        vp_cfg = (self.config.get("vis_processor", {}) or {}).get(split)
+        cfgs = self.config.get("vis_processor", {}) or {}
+        vp_cfg = cfgs.get(split) or cfgs.get("eval")  # eval-only sections
         return build_processor(vp_cfg) if vp_cfg else None
 
     def _text_processor(self, split: str = "train"):
-        tp_cfg = (self.config.get("text_processor", {}) or {}).get(split)
+        cfgs = self.config.get("text_processor", {}) or {}
+        tp_cfg = cfgs.get(split) or cfgs.get("eval")
         return build_processor(tp_cfg) if tp_cfg else None
 
 
@@ -149,11 +175,15 @@ class CCSBUBuilder(BaseDatasetBuilder):
         def make_loader(batch_size, rank, world_size, seed, epoch):
             assert state["t5_tok"] is not None, "tokenizer not injected"
             collator = CaptionSplitCollator(
-                state["t5_tok"], max_txt_len=int(cfg.get("max_txt_len", 128)),
-                use_biased_split=bool(cfg.get("use_biased_random_split", False)),
+                state["t5_tok"],
+                max_txt_len=int(self.knob("max_txt_len", 128)),
+                use_biased_split=bool(self.knob("use_biased_random_split", False)),
             )
+            # resample=False -> one finite pass (eval sections set this)
+            resample = bool(cfg.get("resample", True))
             pipe = WebDatasetPipeline(
-                storage, resample=True, shuffle_buffer=1000,
+                storage, resample=resample,
+                shuffle_buffer=1000 if resample else 0,
                 decode=not use_native,
                 map_fns=[map_fn_raw if use_native else map_fn],
                 batch_size=batch_size, collator=collator,
@@ -215,16 +245,22 @@ class LlavaInstructEmbedBuilder(BaseDatasetBuilder):
                 input_embed_max_len=int(build_info.get("input_embed_max_len", 576)),
                 output_embed_max_len=int(build_info.get("output_embed_max_len", 256)),
                 output_embed_max_split_len=int(
-                    build_info.get("output_embed_max_split_len", 128)),
-                max_txt_len=int(cfg.get("max_txt_len", 128)),
-                t5_add_special_tokens_prob=cfg.get(
+                    build_info.get(
+                        "output_embed_max_split_len",
+                        self.knob("max_split_len", 128) or 128)),
+                max_txt_len=int(self.knob("max_txt_len", 128)),
+                t5_add_special_tokens_prob=self.knob(
                     "t5_tokenizer_add_special_tokens_prob", None),
-                generated_text_key=cfg.get(
-                    "mllama_generated_text_key", "generated_text"),
+                generated_text_key=_GENERATED_TEXT_BATCH_KEYS.get(
+                    self.knob("mllama_generated_text_key", "generated_texts"),
+                    self.knob("mllama_generated_text_key", "generated_text"),
+                ),
                 seed=seed,
             )
+            resample = bool(cfg.get("resample", True))
             pipe = WebDatasetPipeline(
-                storage, resample=True, shuffle_buffer=1000,
+                storage, resample=resample,
+                shuffle_buffer=1000 if resample else 0,
                 batch_size=batch_size, collator=collator,
                 seed=seed + epoch, rank=rank, world_size=world_size,
             )

@@ -77,6 +77,16 @@ class MllamaT5EmbedDecoder(BaseModel):
             self.t5_cfg.d_model, dtype=self.dtype,
         )
         self.drop_rate = cfg.get("mllama_output_embeddings_drop_rate", None)
+        # Reference config-surface parity (mllama_vllm_t5_embed_decoder_2.py
+        # :310-357): forward_type selects the forward body — only
+        # "forward_inner" exists in the reference; reject typos loudly
+        # instead of silently dropping the knob.
+        self.forward_type = cfg.get("forward_type", None)
+        if self.forward_type not in (None, "forward_inner"):
+            raise ValueError(
+                f"Unsupported forward_type '{self.forward_type}' "
+                "(the reference implements only 'forward_inner')"
+            )
         self._build_params(seed)
 
     def _build_params(self, seed: int):

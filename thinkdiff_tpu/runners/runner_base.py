@@ -64,6 +64,10 @@ class RunnerBase:
 
     # -- data ---------------------------------------------------------------
     def train_loader(self, epoch: int):
+        """All train bundles; multiple datasets are ratio-mixed through
+        MultiIterLoader (reference runner_base.py:181-274 + sample_ratio,
+        dataloader_utils.py:15-43)."""
+        loaders, ratios = [], []
         for name, splits in self.datasets.items():
             for split in self.train_splits:
                 if split in splits:
@@ -71,12 +75,23 @@ class RunnerBase:
                     batch = bundle.batch_size or int(
                         self.config.run_cfg.get("batch_size_train", 32)
                     )
-                    return bundle.get_loader(
+                    loaders.append(bundle.get_loader(
                         batch_size=batch, rank=get_rank(),
                         world_size=get_world_size(), seed=self.seed,
                         epoch=epoch,
-                    )
-        raise RuntimeError("No train split found in datasets")
+                    ))
+                    ratios.append(
+                        float(getattr(bundle, "sample_ratio", 1.0) or 1.0))
+        if not loaders:
+            raise RuntimeError("No train split found in datasets")
+        if len(loaders) == 1:
+            return loaders[0]
+        from thinkdiff_tpu.data.pipeline import MultiIterLoader
+
+        logger.info("Mixing %d train datasets with ratios %s",
+                    len(loaders), ratios)
+        return MultiIterLoader(
+            [iter(ld) for ld in loaders], ratios, seed=self.seed + epoch)
 
     # -- training -----------------------------------------------------------
     def train(self) -> Dict[str, Any]:
@@ -99,6 +114,7 @@ class RunnerBase:
                     log_freq=self.log_freq,
                     accum_grad_iters=self.accum_grad_iters,
                     seed=self.seed,
+                    wandb_log=bool(self.config.run_cfg.get("wandb_log", False)),
                     profile_dir=self.config.run_cfg.get("profile_dir", None),
                 )
                 self.log_stats(stats, split_name="train", epoch=epoch)
@@ -113,11 +129,20 @@ class RunnerBase:
             for split in self.valid_splits:
                 for name, splits in self.datasets.items():
                     if split in splits:
+                        # use_dist_eval_sampler=False -> every process sees
+                        # the full eval set (reference runner_base.py:353-354,
+                        # 546-560); True (default) shards it by rank.
+                        dist_eval = bool(self.config.run_cfg.get(
+                            "use_dist_eval_sampler", True))
                         loader = splits[split].get_loader(
-                            rank=get_rank(), world_size=get_world_size(),
+                            rank=get_rank() if dist_eval else 0,
+                            world_size=get_world_size() if dist_eval else 1,
                             seed=self.seed, epoch=epoch,
                         )
-                        val = self.task.evaluation(self.trainer, self.state, loader)
+                        val = self.task.evaluation(
+                            self.trainer, self.state, loader,
+                            max_batches=self.config.run_cfg.get(
+                                "max_eval_batches", None))
                         self.log_stats(val, split_name=split, epoch=epoch)
                         if val["agg_metrics"] > best_agg and is_main_process():
                             best_agg = val["agg_metrics"]

@@ -54,12 +54,33 @@ class BaseTask:
         """{dataset_name: {split: DatasetBundle}} via registry builders
         (reference base_task.py:37-67)."""
         datasets = {}
+        model_cfg = getattr(cfg, "model_cfg", None)
         for name, ds_cfg in cfg.datasets_cfg.items():
             builder_cls = registry.get_builder_class(name)
             if builder_cls is None:
                 raise KeyError(f"Unknown dataset builder '{name}'")
-            builder = builder_cls(ds_cfg)
-            datasets[name] = builder.build_datasets()
+            # model section threaded through: the reference declares
+            # collation knobs (max_txt_len, split modes, tokenizer probs) on
+            # the model config (see BaseDatasetBuilder.knob).
+            builder = builder_cls(ds_cfg, model_cfg=model_cfg)
+            splits = builder.build_datasets()
+            # multi-dataset mixing weight (reference base_task.py:61-62 sets
+            # .sample_ratio on the train dataset; consumed by MultiIterLoader)
+            if "sample_ratio" in ds_cfg and "train" in splits:
+                splits["train"].sample_ratio = float(ds_cfg["sample_ratio"])
+            datasets[name] = splits
+        # eval-only section (reference config.py evaluation_datasets;
+        # runner_base.py:513-595 builds loaders for every split)
+        eval_cfg = getattr(cfg, "evaluation_datasets_cfg", None) or {}
+        for name, ds_cfg in (
+            eval_cfg.items() if hasattr(eval_cfg, "items") else []
+        ):
+            builder_cls = registry.get_builder_class(name)
+            if builder_cls is None:
+                raise KeyError(f"Unknown eval dataset builder '{name}'")
+            builder = builder_cls(ds_cfg, model_cfg=model_cfg)
+            built = builder.build_datasets()
+            datasets[name] = {"eval": built.get("eval", built.get("train"))}
         return datasets
 
     def inject_tokenizers(self, model, datasets):
@@ -96,12 +117,16 @@ class BaseTask:
             batch = trainer.prepare_batch(batch)
             state, metrics = trainer.train_step(state, batch, rng)
             if pending is not None:
-                metric_logger.update(
-                    loss=float(pending["loss"]), lr=float(pending["lr"])
-                )
+                loss, lr = float(pending["loss"]), float(pending["lr"])
+                metric_logger.update(loss=loss, lr=lr)
+                if wandb_log:
+                    self._wandb_step(loss, lr)
             pending = metrics
         if pending is not None:
-            metric_logger.update(loss=float(pending["loss"]), lr=float(pending["lr"]))
+            loss, lr = float(pending["loss"]), float(pending["lr"])
+            metric_logger.update(loss=loss, lr=lr)
+            if wandb_log:
+                self._wandb_step(loss, lr)
         if profile_dir and epoch == 0:
             jax.profiler.stop_trace()
         metric_logger.synchronize_between_processes()
@@ -110,6 +135,15 @@ class BaseTask:
             k: "{:.6f}".format(m.global_avg) for k, m in metric_logger.meters.items()
         }
         return state, stats
+
+    @staticmethod
+    def _wandb_step(loss: float, lr: float):
+        """Per-optimizer-step wandb log, rank 0 only (reference
+        base_task.py:260-261)."""
+        if is_main_process():
+            from thinkdiff_tpu.core.logging import wandb_log as _wlog
+
+            _wlog({"loss": loss, "lr": lr})
 
     def evaluation(self, trainer, state, data_loader, max_batches: Optional[int] = None):
         losses = []

@@ -59,9 +59,19 @@ def main():
     runner_cls = registry.get_runner_class(runner_name)
     if runner_cls is None:
         raise KeyError(f"Unknown runner '{runner_name}'")
+    job_id = args.job_id or now()
+
+    # optional wandb (reference train.py:92-97): never a hard dependency
+    if cfg.run_cfg.get("wandb_log", False):
+        from thinkdiff_tpu.core.distributed import is_main_process
+        from thinkdiff_tpu.core.logging import init_wandb
+
+        if is_main_process():
+            init_wandb(cfg, job_id)
+
     runner = runner_cls(
         cfg=cfg, task=task, model=model, datasets=datasets,
-        job_id=args.job_id or now(),
+        job_id=job_id,
     )
     runner.train()
 
