@@ -114,7 +114,36 @@ class ThinkDiffPipeline:
             )
         except Exception:
             clip_tok = None
-        return cls(sampler, clip_encoder, clip_params, clip_tok)
+        # The FLUX repo ships T5-xxl as text_encoder_2 — build the text
+        # embedder from it so [image; text] composition works without a
+        # separate flan-t5 download (reference encode_prompt uses the
+        # pipeline's own T5, flux_prompt.py:96-104).
+        t5_embedder = None
+        t5_sub = {k.split(".", 1)[1]: v for k, v in (sd or {}).items()
+                  if k.startswith("text_encoder_2.")}
+        if t5_sub:
+            try:
+                from transformers import AutoTokenizer as _AT
+
+                from thinkdiff_tpu.models.convert import convert_t5
+                from thinkdiff_tpu.models.t5 import (
+                    T5Config, T5ForConditionalGeneration,
+                )
+
+                np_dtype = (np.dtype(jnp.bfloat16)
+                            if dtype == jnp.bfloat16 else None)
+                t5_cfg = T5Config.flan_t5_xxl(dtype=dtype, dropout_rate=0.0)
+                t5_params = convert_t5(t5_sub, dtype=np_dtype)
+                t5_tok = _AT.from_pretrained(
+                    "google/flan-t5-xxl", local_files_only=True)
+                t5_embedder = T5TextEmbedder(
+                    T5ForConditionalGeneration(t5_cfg),
+                    {"params": t5_params}, t5_tok)
+            except Exception as e:
+                logger.warning("FLUX text_encoder_2 present but T5 embedder "
+                               "unavailable: %s", e)
+        return cls(sampler, clip_encoder, clip_params, clip_tok,
+                   t5_embedder=t5_embedder)
 
     # -- encode_prompt (reference flux_prompt.py:37-121) ---------------------
     def pooled_from_prompt(self, prompt: str, batch: int = 1) -> np.ndarray:
