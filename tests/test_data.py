@@ -230,3 +230,36 @@ def test_webdataset_pipeline_batches(tmp_path):
     it = IterLoader(PrefetchLoader(pipe2))
     got = [next(it) for _ in range(7)]
     assert len(got) == 7
+
+
+def test_embed_collator_bucketed_lengths():
+    """bucket_lengths=True pads to the power-of-two bucket of the per-batch
+    longest (the static-shape analog of the reference's padding='longest',
+    mllama_vllm_t5_embed_decoder_2.py:570), not to the configured maxima."""
+    from thinkdiff_tpu.data.collators import bucket_length
+
+    assert bucket_length(5, 128) == 32       # min bucket
+    assert bucket_length(33, 128) == 64
+    assert bucket_length(120, 128) == 128
+    assert bucket_length(500, 128) == 128    # clamped to max
+
+    tok = DummyTokenizer()
+    coll = EmbedShardCollator(
+        tok, lambda ids: " ".join("tok" for _ in ids),
+        use_output_embed=True, random_split_output_embed=True,
+        output_embed_max_split_len=128, max_txt_len=128,
+        bucket_lengths=True, seed=0,
+    )
+    rs = np.random.RandomState(0)
+    samples = [
+        {"model.norm.output_embed.pth": rs.randn(n, 8).astype(np.float32),
+         "json": {"output_token_ids": list(range(3, 3 + n))}}
+        for n in (20, 35)
+    ]
+    batch = coll(samples)
+    # splits are < 35 -> embeds bucket to 32; labels bucket to <=64
+    assert batch["embeds"].shape[1] in (32, 64)
+    assert batch["embeds"].shape[1] < 128
+    assert batch["labels"].shape[1] in (32, 64)
+    # masks mark only the real prefix
+    assert int(batch["embed_mask"][0].sum()) < 20

@@ -70,7 +70,7 @@ class TestFlashAttention:
         q, k, v = _rand((b, h, t, d), 0), _rand((b, h, t, d), 1), _rand((b, h, t, d), 2)
 
         def loss(q, k, v):
-            return jnp.sum(flash_attention(q, k, v, None, True) ** 2)
+            return jnp.sum(flash_attention(q, k, v, None, None, True) ** 2)
 
         g = jax.grad(loss)(q, k, v)
         assert np.isfinite(np.asarray(g)).all()
@@ -162,3 +162,104 @@ class TestNormsRope:
         cos, sin = rope_frequencies(d, t)
         out_r = apply_rope(q, k, cos, sin)
         np.testing.assert_allclose(np.asarray(out_m[0]), np.asarray(out_r[0]), atol=1e-5)
+
+
+class TestFlashAttentionBackward:
+    """Pallas dq/dkv kernels vs jax.vjp through the naive reference,
+    interpret mode on CPU."""
+
+    def _interp(self):
+        import importlib
+        from unittest import mock
+        fa = importlib.import_module("thinkdiff_tpu.ops.flash_attention")
+        real = fa.pl.pallas_call
+
+        def interp_call(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("compiler_params", None)
+            return mock.DEFAULT  # placeholder, replaced below
+
+        # need the real call with interpret=True
+        def call(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("compiler_params", None)
+            return real(*args, **kwargs)
+
+        return mock.patch.object(fa.pl, "pallas_call", call)
+
+    def _grads(self, q, k, v, bias, kv_mask, causal, use_pallas):
+        import importlib
+        from unittest import mock
+        fa = importlib.import_module("thinkdiff_tpu.ops.flash_attention")
+
+        if use_pallas:
+            ctx_pallas = mock.patch.multiple(
+                fa, _use_pallas=lambda q, k: True,
+                _use_pallas_bwd=lambda ql, kl: True)
+        else:
+            ctx_pallas = mock.patch.object(fa, "_use_pallas", lambda q, k: False)
+
+        def loss(q, k, v, bias):
+            out = fa.flash_attention(q, k, v, bias, kv_mask, causal, None,
+                                     32, 32)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        with self._interp(), ctx_pallas:
+            return jax.grad(loss, argnums=(0, 1, 2) if bias is None
+                            else (0, 1, 2, 3))(q, k, v, bias)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_backward_matches_reference(self, causal):
+        b, h, t, d = 2, 4, 64, 32
+        q, k, v = (_rand((b, h, t, d), i) for i in range(3))
+        got = self._grads(q, k, v, None, None, causal, use_pallas=True)
+        want = self._grads(q, k, v, None, None, causal, use_pallas=False)
+        for gg, ww, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(ww), atol=2e-4, rtol=1e-3,
+                err_msg=f"d{name}")
+
+    def test_backward_gqa_bias_mask_ragged(self):
+        b, h, hkv, tq, tk, d = 2, 8, 2, 48, 80, 32
+        q = _rand((b, h, tq, d), 0)
+        k, v = _rand((b, hkv, tk, d), 1), _rand((b, hkv, tk, d), 2)
+        bias = _rand((1, h, tq, tk), 3) * 0.5          # rel-bias shape
+        kv_mask = (jnp.arange(tk)[None, :] < jnp.asarray([70, 50])[:, None]
+                   ).astype(jnp.int32)
+        got = self._grads(q, k, v, bias, kv_mask, False, use_pallas=True)
+        want = self._grads(q, k, v, bias, kv_mask, False, use_pallas=False)
+        for gg, ww, name in zip(got[:3], want[:3], "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(ww), atol=2e-4, rtol=1e-3,
+                err_msg=f"d{name}")
+        # bias IS perturbed here -> fwd must take the recompute path and
+        # deliver the true dbias
+        np.testing.assert_allclose(
+            np.asarray(got[3]), np.asarray(want[3]), atol=2e-4, rtol=1e-3)
+
+    def test_backward_frozen_bias_skips_dbias_path(self):
+        """bias not perturbed (closure constant) -> Pallas path used; q/k/v
+        grads still correct."""
+        b, h, t, d = 2, 4, 64, 32
+        q, k, v = (_rand((b, h, t, d), i) for i in range(3))
+        bias = _rand((1, h, t, t), 3) * 0.5
+        kv_mask = jnp.ones((b, t), jnp.int32)
+        import importlib
+        from unittest import mock
+        fa = importlib.import_module("thinkdiff_tpu.ops.flash_attention")
+
+        def loss(q, k, v):
+            out = fa.flash_attention(q, k, v, bias, kv_mask, False, None,
+                                     32, 32)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        with self._interp(), mock.patch.multiple(
+                fa, _use_pallas=lambda q, k: True,
+                _use_pallas_bwd=lambda ql, kl: True):
+            got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        with mock.patch.object(fa, "_use_pallas", lambda q, k: False):
+            want = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for gg, ww, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(ww), atol=2e-4, rtol=1e-3,
+                err_msg=f"d{name}")

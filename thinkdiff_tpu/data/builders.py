@@ -251,6 +251,7 @@ class LlavaInstructEmbedBuilder(BaseDatasetBuilder):
                 max_txt_len=int(self.knob("max_txt_len", 128)),
                 t5_add_special_tokens_prob=self.knob(
                     "t5_tokenizer_add_special_tokens_prob", None),
+                bucket_lengths=bool(build_info.get("bucket_lengths", False)),
                 generated_text_key=_GENERATED_TEXT_BATCH_KEYS.get(
                     self.knob("mllama_generated_text_key", "generated_texts"),
                     self.knob("mllama_generated_text_key", "generated_text"),

@@ -20,6 +20,18 @@ import numpy as np
 
 IGNORE_INDEX = -100
 
+
+def bucket_length(n: int, max_len: int, min_len: int = 32,
+                  multiple: int = 32) -> int:
+    """Next multiple of ``multiple`` ≥ n, clamped to [min_len, max_len].
+
+    The reference pads to the per-batch longest (dynamic shapes,
+    mllama_vllm_t5_embed_decoder_2.py:570 padding='longest'); XLA wants few
+    static shapes, so batches land in multiple-of-32 buckets: ≤15% padding
+    overhead vs 'longest' with at most max_len/32 compiled shapes per dim."""
+    b = max(min_len, -(-n // multiple) * multiple)
+    return min(b, max_len)
+
 # The 16 caption-instruction prompts used during embedding precompute
 # (same prompt set as reference
 # cc_sbu_dataset_mllama_vllm_process_wids.py:11-33 — part of the public data
@@ -164,6 +176,7 @@ class EmbedShardCollator:
                  max_txt_len: int = 128,
                  t5_add_special_tokens_prob: Optional[float] = None,
                  generated_text_key: str = "generated_text",
+                 bucket_lengths: bool = False,
                  seed: Optional[int] = None):
         self.tok = t5_tokenizer
         self.vlm_decode = vlm_decode_fn
@@ -176,6 +189,7 @@ class EmbedShardCollator:
         self.max_split_len = output_embed_max_split_len
         self.max_txt_len = max_txt_len
         self.add_special_prob = t5_add_special_tokens_prob
+        self.bucket_lengths = bucket_lengths
         self.rng = random.Random(seed)
 
     @staticmethod
@@ -199,7 +213,12 @@ class EmbedShardCollator:
         add_special = True
         if self.add_special_prob is not None:
             add_special = self.rng.random() < self.add_special_prob
-        ids, mask = tokenize_batch(self.tok, texts, self.max_txt_len, add_special)
+        width = self.max_txt_len
+        if self.bucket_lengths:
+            lens = [len(self.tok.encode(t, add_special_tokens=add_special))
+                    for t in texts]
+            width = bucket_length(max(lens) if lens else 1, self.max_txt_len)
+        ids, mask = tokenize_batch(self.tok, texts, width, add_special)
         return labels_from_ids(ids, mask)
 
     def __call__(self, samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
@@ -220,7 +239,11 @@ class EmbedShardCollator:
                     split = self.rng.randint(1, max(1, min(n - 1, self.max_split_len)))
                     parts.append(e[:split])
                     texts.append(self.vlm_decode(ids[split:]))
-                embeds, mask = self._pad_embeds(parts, self.max_split_len)
+                width = self.max_split_len
+                if self.bucket_lengths:
+                    width = bucket_length(
+                        max(p.shape[0] for p in parts), self.max_split_len)
+                embeds, mask = self._pad_embeds(parts, width)
             else:
                 texts = []
                 clipped = []

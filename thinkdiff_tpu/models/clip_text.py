@@ -77,7 +77,7 @@ class CLIPTextEncoder(nn.Module):
             q = q.reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
             k = k.reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
             v = v.reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
-            attn = flash_attention(q, k, v, None, True, head_dim ** -0.5)
+            attn = flash_attention(q, k, v, None, None, True, head_dim ** -0.5)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
             x = x + nn.Dense(cfg.hidden_size, name=f"{name}_out",
                              dtype=cfg.dtype, param_dtype=cfg.dtype)(attn)

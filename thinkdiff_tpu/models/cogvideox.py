@@ -118,7 +118,7 @@ class CogVideoXBlock(nn.Module):
         kv_ = apply_rope_interleaved(k[:, :, st:], cos, sin)
         q = jnp.concatenate([q[:, :, :st], qv], axis=2)
         k = jnp.concatenate([k[:, :, :st], kv_], axis=2)
-        attn = flash_attention(q, k, v, None, False, hd ** -0.5)
+        attn = flash_attention(q, k, v, None, None, False, hd ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
         attn = dense(d, "to_out")(attn)
         txt = txt + tg1[:, None] * attn[:, :st]

@@ -184,7 +184,7 @@ class DoubleBlock(nn.Module):
         v = jnp.concatenate([tv, iv], axis=2)
         q = apply_rope_interleaved(q, cos, sin)
         k = apply_rope_interleaved(k, cos, sin)
-        out = flash_attention(q, k, v, None, False, hd ** -0.5)
+        out = flash_attention(q, k, v, None, None, False, hd ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, st + si, d)
         txt_attn, img_attn = out[:, :st], out[:, st:]
 
@@ -228,7 +228,7 @@ class SingleBlock(nn.Module):
         q, k = QKNorm(hd, cfg.dtype, name="qknorm")(q, k)
         q = apply_rope_interleaved(q, cos, sin)
         k = apply_rope_interleaved(k, cos, sin)
-        attn = flash_attention(q, k, v, None, False, hd ** -0.5)
+        attn = flash_attention(q, k, v, None, None, False, hd ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
         mlp = jax.nn.gelu(dense(mlp_dim, "mlp")(xn), approximate=True)
         out = dense(d, "proj_out")(jnp.concatenate([attn, mlp], axis=-1))

@@ -164,7 +164,7 @@ class VisionBlock(nn.Module):
         out = flash_attention(
             q, k, v,
             attn_bias[None, None] if attn_bias is not None else None,
-            False, hd ** -0.5,
+            None, False, hd ** -0.5,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, seq, d)
         x = x + nn.Dense(d, name="proj", dtype=cfg.dtype,
@@ -249,7 +249,7 @@ class Qwen2Attention(nn.Module):
             bias = None
             if mask is not None:
                 bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
-            out = flash_attention(q, k, v, bias, True, hd ** -0.5)
+            out = flash_attention(q, k, v, bias, None, True, hd ** -0.5)
             new_cache = None
         else:
             k_cache, v_cache = cache

@@ -138,9 +138,13 @@ class QDense(nn.Module):
                 y = int8_matmul(x.astype(self.dtype), q, scale,
                                 out_dtype=self.dtype)
             else:
-                # scale on the OUTPUT: the int8->bf16 convert fuses into
-                # large dots (a pre-scaled kernel would materialize a full
-                # bf16 weight copy)
+                # wide path stays on XLA: the int8->bf16 convert fuses into
+                # large dots inside a jitted step, and a Pallas kernel here
+                # LOSES ~70 ms/step to launch overhead (~500 QDense calls
+                # x ~0.14 ms; measured at the aligner operating point —
+                # ops/int8_matmul.int8_matmul_wide exists for single-dispatch
+                # contexts)
+                # scale on the OUTPUT so no bf16 weight copy materializes
                 y = jnp.dot(x.astype(self.dtype), q.astype(self.dtype),
                             preferred_element_type=self.dtype)
                 y = y * scale.astype(self.dtype)[None]
@@ -197,15 +201,14 @@ class T5Attention(nn.Module):
         v = v.reshape(b, tk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
 
         bias = position_bias
-        if mask is not None:
-            key_mask = (1.0 - mask.astype(jnp.float32)) * NEG_INF
-            key_mask = key_mask[:, None, None, :]
-            bias = key_mask if bias is None else bias + key_mask
         if bias is not None:
             bias = bias.astype(jnp.float32)
+        # key validity rides the kernel's kv_mask input — never materialized
+        # as a broadcast (B, H, Tq, Tk) bias tensor
+        kv_mask = None if mask is None else mask.astype(jnp.int32)
 
         # T5 has no 1/sqrt(d) scaling -> sm_scale=1.0
-        out = flash_attention(q, k, v, bias, self.causal, 1.0)
+        out = flash_attention(q, k, v, bias, kv_mask, self.causal, 1.0)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
         return QDense(cfg.d_model, dtype=cfg.dtype, quant=cfg.quant_int8,
                       name="o")(out)

@@ -93,7 +93,7 @@ class ViTAttention(nn.Module):
         q = dense("q_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
         k = dense("k_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
         v = dense("v_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
-        out = flash_attention(q, k, v, None, False, head_dim ** -0.5)
+        out = flash_attention(q, k, v, None, None, False, head_dim ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return dense("out_proj")(out)
 

@@ -101,3 +101,175 @@ def int8_matmul_reference(x, w_q, scale, out_dtype=None):
     out_dtype = out_dtype or x.dtype
     y = jnp.dot(x.astype(jnp.float32), w_q.astype(jnp.float32))
     return (y * scale.astype(jnp.float32)[None]).astype(out_dtype)
+
+
+# ===================== tiled wide matmul (training path) =====================
+#
+# XLA does NOT fuse the int8->bf16 weight convert into large dots either on
+# this toolchain: each frozen-weight use materializes a bf16 copy, adding a
+# params-proportional fixed cost (~67 ms/step measured at the aligner
+# operating point, batch 16). These kernels stream int8 straight from HBM
+# for both the forward (x @ W) and the input-gradient (g @ W^T) — frozen
+# weights have no dW — cutting the weight traffic to the int8 bytes.
+
+
+def _wide_fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, num_k: int):
+    """grid (nR, nN, nK) k innermost: o(bR,bN) = sum_k x(bR,bK) @ w(bK,bN)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # bf16 MXU dot with f32 accumulation: an f32 dot would run the MXU at
+    # multi-pass rate; int8->bf16 convert is VPU-cheap per tile
+    x = x_ref[...].astype(jnp.bfloat16)
+    w = w_ref[...].astype(jnp.bfloat16)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_k - 1)
+    def _fin():
+        s = s_ref[0, :].astype(jnp.float32)
+        o_ref[...] = (acc_ref[:] * s[None]).astype(o_ref.dtype)
+
+
+def _wide_bwd_kernel(g_ref, w_ref, s_ref, o_ref, acc_ref, *, num_n: int):
+    """grid (nR, nK, nN) n innermost: dx(bR,bK) = sum_n (g*s)(bR,bN) @ w(bK,bN)^T."""
+    ni = pl.program_id(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = (g_ref[...].astype(jnp.float32)
+         * s_ref[0, :].astype(jnp.float32)[None]).astype(jnp.bfloat16)
+    w = w_ref[...].astype(jnp.bfloat16)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        g, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(ni == num_n - 1)
+    def _fin():
+        o_ref[...] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _wide_blocks(r, k, n):
+    # Row blocks as LARGE as VMEM allows: every extra row block re-streams
+    # the whole weight from HBM. bR=2048, bN<=512: acc 4 MB f32 + x 2 MB.
+    block_r = min(2048, _cdiv(r, 8) * 8)
+    block_n = _pick_block(n, (512, 384, 256, 128))
+    block_k = _pick_block(k, (512, 384, 256, 128))
+    return block_r, block_k, block_n
+
+
+def _int8_matmul_wide_fwd(x2, w_q, scale, out_dtype):
+    r, k = x2.shape
+    n = w_q.shape[1]
+    block_r, block_k, block_n = _wide_blocks(r, k, n)
+    r_pad = _cdiv(r, block_r) * block_r - r
+    if r_pad:
+        x2 = jnp.pad(x2, ((0, r_pad), (0, 0)))
+    grid = ((r + r_pad) // block_r, n // block_n, k // block_k)
+    out = pl.pallas_call(
+        functools.partial(_wide_fwd_kernel, num_k=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, block_k), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, block_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r + r_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_r, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (r + r_pad) * k * n,
+            bytes_accessed=k * n + (r + r_pad) * k * 2 + (r + r_pad) * n * 2,
+            transcendentals=0,
+        ),
+    )(x2, w_q, scale.reshape(1, -1))
+    return out[:r] if r_pad else out
+
+
+def _int8_matmul_wide_bwd(g2, w_q, scale, out_dtype):
+    r, n = g2.shape
+    k = w_q.shape[0]
+    block_r, block_k, block_n = _wide_blocks(r, k, n)
+    r_pad = _cdiv(r, block_r) * block_r - r
+    if r_pad:
+        g2 = jnp.pad(g2, ((0, r_pad), (0, 0)))
+    grid = ((r + r_pad) // block_r, k // block_k, n // block_n)
+    out = pl.pallas_call(
+        functools.partial(_wide_bwd_kernel, num_n=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, block_n), lambda i, j, nn: (i, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, nn: (j, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j, nn: (0, nn),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, block_k), lambda i, j, nn: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r + r_pad, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_r, block_k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (r + r_pad) * k * n,
+            bytes_accessed=k * n + (r + r_pad) * n * 2 + (r + r_pad) * k * 2,
+            transcendentals=0,
+        ),
+    )(g2, w_q, scale.reshape(1, -1))
+    return out[:r] if r_pad else out
+
+
+def _wide_supported(k: int, n: int) -> bool:
+    return bool(_pick_block(n, (512, 384, 256, 128))
+                and _pick_block(k, (512, 384, 256, 128)))
+
+
+@jax.custom_vjp
+def int8_matmul_wide(x, w_q, scale):
+    """x (..., K) @ int8 w_q (K, N) * scale (N,) -> (..., N), streaming the
+    weight in int8 for BOTH forward and input-gradient (frozen weight: no
+    dW). Falls back to the XLA reference off-TPU / for unsupported dims."""
+    lead, k = x.shape[:-1], x.shape[-1]
+    if (jax.default_backend() not in ("tpu", "axon")
+            or not _wide_supported(k, w_q.shape[1])):
+        return int8_matmul_reference(x, w_q, scale, x.dtype)
+    out = _int8_matmul_wide_fwd(x.reshape(-1, k), w_q, scale, x.dtype)
+    return out.reshape(*lead, w_q.shape[1])
+
+
+def _wide_fwd_rule(x, w_q, scale):
+    return int8_matmul_wide(x, w_q, scale), (x, w_q, scale)
+
+
+def _wide_bwd_rule(res, g):
+    x, w_q, scale = res
+    lead, k = x.shape[:-1], x.shape[-1]
+    n = w_q.shape[1]
+    if (jax.default_backend() not in ("tpu", "axon")
+            or not _wide_supported(k, n)):
+        dx = jnp.dot(
+            g.astype(jnp.float32) * scale.astype(jnp.float32),
+            w_q.astype(jnp.float32).T,
+        ).astype(x.dtype).reshape(x.shape)
+    else:
+        dx = _int8_matmul_wide_bwd(
+            g.reshape(-1, n), w_q, scale, x.dtype
+        ).reshape(x.shape)
+    # frozen weight: dW/dscale are never consumed (and would be huge)
+    return dx, None, None
+
+
+int8_matmul_wide.defvjp(_wide_fwd_rule, _wide_bwd_rule)
