@@ -1,7 +1,9 @@
 """ThinkDiff-CLIP video composition (reference:
 scripts/test/test_blip_vision_t5_decoder_cogvideo.py:116-189): first 65
 projected vision tokens + T5 text embeds within CogVideoX's 226-token budget
--> CogVideoX sampling (50 steps, guidance 6).
+-> CogVideoX sampling (50 steps, guidance 6) -> 3D causal VAE decode ->
+video file (MJPEG AVI natively; MP4 when ffmpeg is available — reference
+saves MP4 via export_to_video, :186-189).
 """
 
 import os
@@ -33,7 +35,7 @@ def main():
     )
 
     model = task.build_model(cfg)
-    proc = BlipImageEvalProcessor(image_size=224)
+    proc = BlipImageEvalProcessor(image_size=int(run.get("image_size", 224)))
 
     image_path = run.get("image_path")
     prompt = run.get("text_input", "")
@@ -63,9 +65,28 @@ def main():
         guidance=float(run.get("guidance_scale", 6.0)), seed=seed,
     )
     os.makedirs(out_dir, exist_ok=True)
-    out_path = os.path.join(out_dir, f"video_latents_seed{seed}.npy")
-    np.save(out_path, np.asarray(latents, np.float32))
-    print("saved latents:", out_path, "(3D-VAE decode lands in a later round)")
+    if run.get("save_latents", False):
+        lat_path = os.path.join(out_dir, f"video_latents_seed{seed}.npy")
+        np.save(lat_path, np.asarray(latents, np.float32))
+        print("saved latents:", lat_path)
+
+    # 3D causal VAE decode -> frames -> video file
+    from thinkdiff_tpu.data.video_io import save_video
+    from thinkdiff_tpu.models.cogvideox_vae import (
+        CogVideoXVAEConfig, CogVideoXVAEDecoder, convert_cogvideox_vae,
+        decode_latents,
+    )
+
+    vcfg = CogVideoXVAEConfig.cogvideox_5b()
+    decoder = CogVideoXVAEDecoder(vcfg)
+    vae_params = convert_cogvideox_vae(sd)
+    # latents from the sampler: (B, T, H, W, C)
+    frames = decode_latents(decoder, vae_params, latents)[0]
+    name = os.path.splitext(os.path.basename(image_path))[0]
+    out_path = os.path.join(
+        out_dir, f"{name}_seed{seed}.{run.get('video_format', 'avi')}")
+    out_path = save_video(frames, out_path, fps=int(run.get("fps", 8)))
+    print("saved video:", out_path)
 
 
 if __name__ == "__main__":
