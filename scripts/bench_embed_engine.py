@@ -22,6 +22,16 @@ def main():
     parser.add_argument("--max-tokens", type=int, default=256)
     parser.add_argument("--image-size", type=int, default=448)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--mode", choices=["static", "continuous"],
+                        default="static")
+    parser.add_argument("--n", type=int, default=0,
+                        help="request count for continuous mode "
+                             "(default 4x batch)")
+    parser.add_argument("--mean-len", type=int, default=80,
+                        help="emulated generation-length mean (the CC-SBU "
+                             "caption workload finishes at EOS well before "
+                             "max_tokens; random weights never sample EOS, "
+                             "so lengths are emulated via the stop hook)")
     args = parser.parse_args()
 
     import jax
@@ -65,17 +75,43 @@ def main():
     batch = {"images": imgs,
              "answers": ["Describe the image concisely."] * args.batch}
 
-    print("compiling (first batch)...")
-    t0 = time.perf_counter()
-    result = engine.generate(batch, seed=0)
-    print(f"first batch (compile+run): {time.perf_counter() - t0:.1f}s, "
-          f"gen len {len(result.output_token_ids[0])}")
+    if args.mode == "continuous":
+        n = args.n or args.batch * 4
+        lengths = np.clip(rs.normal(args.mean_len, args.mean_len // 2, n)
+                          .astype(int), 8, args.max_tokens)
+        engine.ignore_eos = False
+        engine.eos_ids = [2]
+        engine.stop_fn = lambda req, toks: len(toks) >= lengths[req]
+        imgs_n = [imgs[i % args.batch] for i in range(n)]
+        req = {"images": imgs_n,
+               "answers": ["Describe the image concisely."] * n}
+        print(f"continuous: n={n} slots={args.batch} emulated mean len "
+              f"{lengths.mean():.0f} / max {args.max_tokens}")
+        t0 = time.perf_counter()
+        result = engine.generate_many(req, seed=0, slots=args.batch)
+        dt0 = time.perf_counter() - t0
+        print(f"first pass (compile+run): {dt0:.1f}s")
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            result = engine.generate_many(req, seed=i + 1, slots=args.batch)
+        dt = (time.perf_counter() - t0) / args.iters / (n / args.batch)
+        n_tokens = sum(len(t) for t in result.output_token_ids) \
+            * args.batch // n
+        args_batch = args.batch
+        print(f"continuous {n} reqs: {dt * n / args.batch:.2f} s total -> "
+              f"{n / (dt * n / args.batch):.2f} imgs/s")
+    else:
+        print("compiling (first batch)...")
+        t0 = time.perf_counter()
+        result = engine.generate(batch, seed=0)
+        print(f"first batch (compile+run): {time.perf_counter() - t0:.1f}s, "
+              f"gen len {len(result.output_token_ids[0])}")
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        result = engine.generate(batch, seed=i + 1)
-    dt = (time.perf_counter() - t0) / args.iters
-    n_tokens = sum(len(t) for t in result.output_token_ids)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            result = engine.generate(batch, seed=i + 1)
+        dt = (time.perf_counter() - t0) / args.iters
+        n_tokens = sum(len(t) for t in result.output_token_ids)
     print(f"batch {args.batch}: {dt:.2f} s/batch -> "
           f"{args.batch / dt:.2f} imgs/s, "
           f"{n_tokens / dt:.0f} gen tok/s")

@@ -193,3 +193,63 @@ def test_top_p_sampling_masks_tail():
         t = sample_logits(jax.random.fold_in(rng, i), logits, 1.0, 0.6)
         counts.add(int(t[0]))
     assert counts <= {0, 1}
+
+
+def make_engine(max_tokens=6, min_tokens=1, temperature=0.6, top_p=0.9):
+    cfg = Qwen2VLConfig.tiny()
+    rng = jax.random.PRNGKey(0)
+    vision = Qwen2VisionTower(cfg.vision)
+    lm = Qwen2VLModel(cfg)
+    vp = vision.init(
+        rng, jnp.zeros((4, cfg.vision.patch_dim)),
+        jnp.zeros((4, cfg.vision.head_dim // 2)),
+        jnp.zeros((4, cfg.vision.head_dim // 2)), None,
+    )["params"]
+    lp = lm.init(
+        rng, input_ids=jnp.zeros((1, 4), jnp.int32),
+        position_ids=jnp.zeros((3, 1, 4), jnp.int32),
+    )["params"]
+    return EmbedEngine(
+        cfg, {"vision": vp, "lm": lp}, FakeTokenizer(),
+        max_tokens=max_tokens, min_tokens=min_tokens,
+        temperature=temperature, top_p=top_p,
+        eos_ids=[242, 241], min_pixels=8 * 8, max_pixels=64 * 64,
+    )
+
+
+def test_generate_many_continuous_batching():
+    """generate_many must produce the same CONTRACT as generate (EOS
+    trimming, min_tokens, per-request hidden/token alignment, input order)
+    while cycling requests through a small slot pool."""
+    engine = make_engine(max_tokens=12, min_tokens=2)
+    prompts = [f"describe thing {i}" for i in range(7)]
+    res = engine.generate_many(
+        {"prompts": prompts}, seed=3, slots=2, chunk=4)
+    assert len(res.texts) == 7
+    for i in range(7):
+        toks = res.output_token_ids[i]
+        assert 2 <= len(toks) <= 12
+        # hidden rows align 1:1 with emitted tokens
+        assert res.hidden_states[i].shape[0] == len(toks)
+        assert res.hidden_states[i].shape[1] == engine.cfg.hidden_size
+        # EOS only at the end, never before min_tokens
+        for j, t in enumerate(toks[:-1]):
+            assert not (t in engine.eos_ids and j >= 1), (i, toks)
+        assert res.prompt_hidden_states[i].shape[0] == \
+            len(res.prompt_token_ids[i])
+    # prompt text round-trip preserved per request (order restored)
+    for i in range(7):
+        assert f"thing {i}" in res.input_prompts[i]
+
+
+def test_generate_many_matches_generate_semantics():
+    """With a slot pool >= n, generate_many falls back to generate and the
+    two paths agree exactly (same seed)."""
+    engine = make_engine(max_tokens=6, min_tokens=2)
+    prompts = [f"say {i}" for i in range(3)]
+    a = engine.generate({"prompts": prompts}, seed=9)
+    b = engine.generate_many({"prompts": prompts}, seed=9, slots=8)
+    assert a.output_token_ids == b.output_token_ids
+    for i in range(3):
+        np.testing.assert_allclose(
+            a.hidden_states[i], b.hidden_states[i], atol=1e-5)

@@ -376,18 +376,15 @@ class EmbedEngine:
         self._decode_fn[cache_key] = decode
         return decode
 
-    # -- generation ---------------------------------------------------------
-    def generate(self, samples: Dict[str, Any], max_new_tokens: Optional[int] = None,
-                 seed: int = 0) -> GenerationResult:
-        """samples: {"images": [PIL or [PIL,...]], "answers": [str]} (the
-        precompute collator output) — or {"prompts": [...]} pre-built."""
-        images_per_sample = samples.get("images", [])
-        texts = samples.get("answers") or samples.get("prompts")
-        b = len(texts)
-        max_tokens = int(max_new_tokens or self.max_tokens)
-        merge = self.cfg.vision.spatial_merge_size
+    # -- request preparation --------------------------------------------------
+    def _prepare(self, texts, images_per_sample):
+        """Vision passes (grouped by grid) + prompts + M-RoPE positions.
 
-        # 1. preprocess all images, concat patches for one vision pass
+        Returns a list of per-request dicts: {prompt, ids, pos, delta,
+        img_rows, img_local_idx}.
+        """
+        b = len(texts)
+        merge = self.cfg.vision.spatial_merge_size
         all_patches, all_grids = [], []
         per_sample_grids: List[List[Tuple[int, int, int]]] = []
         for img_entry in images_per_sample:
@@ -436,8 +433,7 @@ class EmbedEngine:
                 for j, i in enumerate(idxs):
                     image_embeds_list[i] = embeds[j]
 
-        # 2. build prompts + positions
-        prompts, ids_list, pos_list, deltas = [], [], [], []
+        prepared = []
         img_i = 0
         for i in range(b):
             grids = per_sample_grids[i]
@@ -447,73 +443,97 @@ class EmbedEngine:
                 np.asarray(ids), np.asarray(grids, np.int64).reshape(-1, 3),
                 self.cfg.image_token_id, merge,
             )
-            prompts.append(prompt)
-            ids_list.append(ids)
-            pos_list.append(pos)
-            deltas.append(int(delta))
+            is_img = np.asarray(ids) == self.cfg.image_token_id
+            img_rows = None
+            img_local_idx = None
+            if is_img.any():
+                n_img = len(grids)
+                img_rows = np.concatenate(
+                    image_embeds_list[img_i: img_i + n_img], axis=0)
+                img_local_idx = np.nonzero(is_img)[0]
+                img_i += n_img
+            prepared.append(dict(prompt=prompt, ids=ids, pos=pos,
+                                 delta=int(delta), img_rows=img_rows,
+                                 img_local_idx=img_local_idx))
+        return prepared
 
-        prompt_lens = [len(i) for i in ids_list]
+    def _prefill(self, prepared, max_tokens, rng, cache_size=None):
+        """Padded-buffer prefill over a request list.
+
+        Returns (first (m,), hidden np f32 (m, pad, D), caches, prompt_lens,
+        last_idx np, start_pos np)."""
+        import ml_dtypes
+
+        m = len(prepared)
+        prompt_lens = [len(p["ids"]) for p in prepared]
         pad_to = 1 << max(6, (max(prompt_lens) - 1).bit_length())  # bucket
         pad_to = min(pad_to, self.max_prompt_len)
         assert max(prompt_lens) <= pad_to, "prompt exceeds max_prompt_len"
+        cache_size = cache_size or (pad_to + max_tokens)
 
-        input_ids = np.zeros((b, pad_to), np.int32)
-        mask = np.zeros((b, pad_to), np.int32)
-        positions = np.zeros((3, b, pad_to), np.int32)
-        import ml_dtypes
-
+        input_ids = np.zeros((m, pad_to), np.int32)
+        mask = np.zeros((m, pad_to), np.int32)
+        positions = np.zeros((3, m, pad_to), np.int32)
         # bf16 host buffer: halves the host->device upload over the tunnel
-        img_embeds = np.zeros((b, pad_to, self.cfg.hidden_size),
+        img_embeds = np.zeros((m, pad_to, self.cfg.hidden_size),
                               ml_dtypes.bfloat16)
-        img_mask = np.zeros((b, pad_to), np.int32)
-        img_i = 0
-        for i in range(b):
+        img_mask = np.zeros((m, pad_to), np.int32)
+        for i, p in enumerate(prepared):
             L = prompt_lens[i]
-            input_ids[i, :L] = ids_list[i]
+            input_ids[i, :L] = p["ids"]
             mask[i, :L] = 1
-            positions[:, i, :L] = pos_list[i]
-            is_img = np.asarray(ids_list[i]) == self.cfg.image_token_id
-            if is_img.any():
-                n_img = len(per_sample_grids[i])
-                embeds = np.concatenate(
-                    image_embeds_list[img_i: img_i + n_img], axis=0
-                )
-                img_i += n_img
-                idxs = np.nonzero(is_img)[0]
-                img_embeds[i, idxs] = embeds
-                img_mask[i, idxs] = 1
+            positions[:, i, :L] = p["pos"]
+            if p["img_rows"] is not None:
+                img_embeds[i, p["img_local_idx"]] = p["img_rows"]
+                img_mask[i, p["img_local_idx"]] = 1
 
-        # 3. prefill
-        cache_size = pad_to + max_tokens
         hd = self.cfg.head_dim
-        dtype = self.cfg.dtype
         caches = [
-            (jnp.zeros((b, self.cfg.num_kv_heads, cache_size, hd), dtype),
-             jnp.zeros((b, self.cfg.num_kv_heads, cache_size, hd), dtype))
+            (jnp.zeros((m, self.cfg.num_kv_heads, cache_size, hd), self.cfg.dtype),
+             jnp.zeros((m, self.cfg.num_kv_heads, cache_size, hd), self.cfg.dtype))
             for _ in range(self.cfg.num_layers)
         ]
         last_idx = np.asarray(prompt_lens) - 1
-        rng = jax.random.PRNGKey(seed)
-        rng, sub = jax.random.split(rng)
         first, hidden_dev, caches = self._get_prefill_fn()(
             self.params["lm"], jnp.asarray(input_ids),
             jnp.asarray(positions), jnp.asarray(mask),
             jnp.asarray(img_embeds), jnp.asarray(img_mask), caches,
-            jnp.asarray(last_idx), sub,
+            jnp.asarray(last_idx), rng,
         )
         hidden = np.asarray(hidden_dev).astype(np.float32)
+        start_pos = np.asarray(
+            [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
+            np.int32)
+        return (first, hidden, caches, prompt_lens, last_idx, start_pos)
 
-        # 4. decode
+    # -- generation ---------------------------------------------------------
+    def generate(self, samples: Dict[str, Any], max_new_tokens: Optional[int] = None,
+                 seed: int = 0) -> GenerationResult:
+        """samples: {"images": [PIL or [PIL,...]], "answers": [str]} (the
+        precompute collator output) — or {"prompts": [...]} pre-built.
+
+        Static-batch path: one prefill, one decode scan to max_tokens,
+        post-trim at EOS. Exact for ignore_eos eval configs; for EOS-heavy
+        precompute workloads prefer :meth:`generate_many` (continuous
+        batching)."""
+        images_per_sample = samples.get("images", [])
+        texts = samples.get("answers") or samples.get("prompts")
+        b = len(texts)
+        max_tokens = int(max_new_tokens or self.max_tokens)
+
+        prepared = self._prepare(texts, images_per_sample)
+        rng = jax.random.PRNGKey(seed)
+        rng, sub = jax.random.split(rng)
+        first, hidden, caches, prompt_lens, last_idx, start_pos = \
+            self._prefill(prepared, max_tokens, sub)
+
         decode = self._get_decode_fn(
             max_tokens - 1, self.min_tokens, self.temperature, self.top_p
         ) if max_tokens > 1 else None
         prompt_len_arr = jnp.asarray(prompt_lens, jnp.int32)
-        start_pos = jnp.asarray(
-            [prompt_lens[i] + deltas[i] for i in range(b)], jnp.int32
-        )
         if decode is not None:
             gen_tokens, gen_hidden = decode(
-                self.params["lm"], caches, first, start_pos,
+                self.params["lm"], caches, first, jnp.asarray(start_pos),
                 prompt_len_arr, rng,
             )
             gen_tokens = np.concatenate(
@@ -530,7 +550,7 @@ class EmbedEngine:
             gen_tokens = np.asarray(first)[:, None]
             gen_hidden = hidden[np.arange(b), last_idx][:, None]
 
-        # 5. trim at EOS + detokenize
+        # trim at EOS + detokenize
         out_texts, out_ids, out_hidden, prompt_hidden = [], [], [], []
         for i in range(b):
             toks = gen_tokens[i].tolist()
@@ -550,9 +570,240 @@ class EmbedEngine:
             out_texts.append(text)
 
         return GenerationResult(
-            texts=out_texts, prompt_token_ids=[list(x) for x in ids_list],
+            texts=out_texts,
+            prompt_token_ids=[list(p["ids"]) for p in prepared],
             output_token_ids=out_ids, prompt_hidden_states=prompt_hidden,
-            hidden_states=out_hidden, input_prompts=prompts,
+            hidden_states=out_hidden,
+            input_prompts=[p["prompt"] for p in prepared],
+        )
+
+
+    # -- continuous batching --------------------------------------------------
+    def _get_chunk_decode_fn(self, chunk: int, min_tokens: int,
+                             temperature: float, top_p: float,
+                             window: int):
+        """K-step decode scan with per-slot generation counters and a STATIC
+        attention window (length-aware decode: short contexts read `window`
+        cache bytes instead of the full static cache)."""
+        if not hasattr(self, "_chunk_fns"):
+            self._chunk_fns = {}
+        key = (chunk, min_tokens, temperature, top_p, window)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+        eos_arr = jnp.asarray(self.eos_ids if self.eos_ids else [-1], jnp.int32)
+        ignore_eos = self.ignore_eos
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def chunk_decode(params, caches, tokens, cache_len, pos, gen_count, rng):
+            def step(carry, i):
+                caches, tokens, cache_len, pos, gen_count, rng = carry
+                rng, sub = jax.random.split(rng)
+                pos3 = jnp.broadcast_to(pos[None, :, None], (3, pos.shape[0], 1))
+                _, hidden, caches = self.lm.apply(
+                    {"params": params}, input_ids=tokens[:, None],
+                    position_ids=pos3, caches=caches, cache_len=cache_len,
+                    compute_logits=False, attn_window=window,
+                )
+                logits_last = self.lm.apply(
+                    {"params": params}, hidden[:, 0], method=self.lm.logits
+                )
+                if not ignore_eos:
+                    # per-slot: token being sampled has overall index
+                    # gen_count; EOS blocked while gen_count < min_tokens - 1
+                    block = (gen_count < min_tokens - 1)[:, None]
+                    logits_last = jnp.where(
+                        jnp.logical_and(
+                            block,
+                            jnp.isin(jnp.arange(logits_last.shape[-1]),
+                                     eos_arr)[None]),
+                        -jnp.inf, logits_last.astype(jnp.float32))
+                nxt = sample_logits(sub, logits_last, temperature, top_p)
+                return ((caches, nxt, cache_len + 1, pos + 1,
+                         gen_count + 1, rng),
+                        (nxt, hidden[:, 0].astype(jnp.bfloat16)))
+
+            init = (caches, tokens, cache_len, pos, gen_count, rng)
+            (caches, tokens, cache_len, pos, gen_count, rng), \
+                (out_tokens, out_hidden) = jax.lax.scan(
+                    step, init, jnp.arange(chunk))
+            return (caches, tokens, cache_len, pos, gen_count,
+                    out_tokens.T, out_hidden.transpose(1, 0, 2))
+
+        self._chunk_fns[key] = chunk_decode
+        return chunk_decode
+
+    def _get_scatter_fn(self):
+        """Scatter a refill sub-batch's caches/state into slot rows."""
+        if getattr(self, "_scatter_fn", None) is None:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def scatter(big, slots, sub):
+                return jax.tree.map(
+                    lambda b, s: b.at[slots].set(s.astype(b.dtype)), big, sub)
+
+            self._scatter_fn = scatter
+        return self._scatter_fn
+
+    def generate_many(self, samples: Dict[str, Any],
+                      max_new_tokens: Optional[int] = None, seed: int = 0,
+                      slots: Optional[int] = None, chunk: int = 32
+                      ) -> GenerationResult:
+        """Continuous batching over an arbitrary request list (the scheduler
+        role vLLM plays for the reference — thinkdiff/models/
+        mllama_vllm_generate_1.py:382-413): a fixed pool of `slots` decode
+        lanes; finished (EOS) sequences are replaced by freshly-prefilled
+        requests at `chunk`-step boundaries; the decode attention window
+        grows in 256-step buckets (no full-cache reads for short contexts).
+        """
+        images_per_sample = samples.get("images", [])
+        texts = samples.get("answers") or samples.get("prompts")
+        n = len(texts)
+        max_tokens = int(max_new_tokens or self.max_tokens)
+        slots = int(slots or min(n, 16))
+        if n <= slots or max_tokens <= chunk or self.ignore_eos:
+            # static batching is optimal when nothing can finish early
+            return self.generate(samples, max_new_tokens=max_new_tokens,
+                                 seed=seed)
+
+        prepared = self._prepare(texts, images_per_sample)
+        # longest-first: early refill groups get the big prompt buckets
+        order = sorted(range(n), key=lambda i: -len(prepared[i]["ids"]))
+        queue = list(order)
+        rng = jax.random.PRNGKey(seed)
+
+        max_prompt = max(len(p["ids"]) for p in prepared)
+        prompt_bucket = 1 << max(6, (max_prompt - 1).bit_length())
+        prompt_bucket = min(prompt_bucket, self.max_prompt_len)
+        # + chunk: a slot finishing mid-chunk keeps writing garbage KV rows
+        # until the boundary
+        cache_size = prompt_bucket + max_tokens + chunk
+
+        # ---- initial fill ----
+        first_batch = [prepared[queue.pop(0)] for _ in range(slots)]
+        slot_req = [order[i] for i in range(slots)]
+        rng, sub = jax.random.split(rng)
+        first, hidden, caches, prompt_lens, last_idx, start_pos = \
+            self._prefill(first_batch, max_tokens, sub, cache_size=cache_size)
+
+        results: Dict[int, Tuple] = {}
+        # per-slot host accumulators
+        slot_tokens = [[int(t)] for t in np.asarray(first)]
+        slot_hidden = [[hidden[i, last_idx[i]][None]] for i in range(slots)]
+        slot_prompt_hidden = [hidden[i, :prompt_lens[i]] for i in range(slots)]
+        slot_gen = np.ones((slots,), np.int64)
+        slot_active = np.ones((slots,), bool)
+
+        tokens_dev = first
+        cache_len = jnp.asarray(prompt_lens, jnp.int32)
+        pos = jnp.asarray(start_pos)
+        gen_count = jnp.ones((slots,), jnp.int32)
+
+        def _finish(si):
+            req = slot_req[si]
+            toks = slot_tokens[si]
+            cut = len(toks)
+            if not self.ignore_eos and self.eos_ids:
+                for j, t in enumerate(toks):
+                    if t in self.eos_ids and j >= self.min_tokens - 1:
+                        cut = j + 1
+                        break
+            cut = min(cut, max_tokens)
+            toks = toks[:cut]
+            hid = np.concatenate(slot_hidden[si], axis=0)[:cut]
+            p = prepared[req]
+            text = self.tokenizer.decode(
+                [t for t in toks if t not in self.eos_ids],
+                skip_special_tokens=True) if self.tokenizer else ""
+            results[req] = (text, list(p["ids"]), toks,
+                            slot_prompt_hidden[si], hid, p["prompt"])
+
+        import os as _os
+        import time as _time
+        dbg = _os.environ.get("THINKDIFF_ENGINE_DEBUG")
+        t_decode = t_sync = t_refill = 0.0
+        n_chunks = 0
+        while slot_active.any():
+            max_len = int(np.asarray(cache_len)[slot_active].max()) + chunk
+            window = min(-(-max_len // 256) * 256, cache_size)
+            fn = self._get_chunk_decode_fn(
+                chunk, self.min_tokens, self.temperature, self.top_p, window)
+            rng, sub = jax.random.split(rng)
+            _t0 = _time.perf_counter()
+            (caches, tokens_dev, cache_len, pos, gen_count,
+             chunk_tokens, chunk_hidden) = fn(
+                self.params["lm"], caches, tokens_dev, cache_len, pos,
+                gen_count, sub)
+            _t1 = _time.perf_counter()
+            chunk_tokens = np.asarray(chunk_tokens)          # (S, chunk)
+            chunk_hidden = np.asarray(chunk_hidden).astype(np.float32)
+            _t2 = _time.perf_counter()
+            t_decode += _t1 - _t0
+            t_sync += _t2 - _t1
+            n_chunks += 1
+
+            finished_slots = []
+            for si in range(slots):
+                if not slot_active[si]:
+                    continue
+                take = min(chunk, max_tokens - slot_gen[si])
+                slot_tokens[si].extend(int(t) for t in chunk_tokens[si, :take])
+                slot_hidden[si].append(chunk_hidden[si, :take])
+                slot_gen[si] += take
+                done = slot_gen[si] >= max_tokens
+                if not done and not self.ignore_eos and self.eos_ids:
+                    toks = slot_tokens[si]
+                    done = any(t in self.eos_ids
+                               for j, t in enumerate(toks)
+                               if j >= self.min_tokens - 1)
+                if not done and getattr(self, "stop_fn", None) is not None:
+                    # extension point for stop-sequences (vLLM
+                    # SamplingParams.stop) and length-emulating benches
+                    done = bool(self.stop_fn(slot_req[si], slot_tokens[si]))
+                if done:
+                    _finish(si)
+                    finished_slots.append(si)
+
+            if finished_slots:
+                refill = []
+                refill_slots = []
+                for si in finished_slots:
+                    if queue:
+                        req = queue.pop(0)
+                        slot_req[si] = req
+                        refill.append(prepared[req])
+                        refill_slots.append(si)
+                    else:
+                        slot_active[si] = False
+                if refill:
+                    rng, sub = jax.random.split(rng)
+                    _t0 = _time.perf_counter()
+                    (r_first, r_hidden, r_caches, r_lens, r_last, r_start) = \
+                        self._prefill(refill, max_tokens, sub,
+                                      cache_size=cache_size)
+                    sl = jnp.asarray(refill_slots, jnp.int32)
+                    caches = self._get_scatter_fn()(caches, sl, r_caches)
+                    tokens_dev = tokens_dev.at[sl].set(r_first)
+                    cache_len = cache_len.at[sl].set(
+                        jnp.asarray(r_lens, jnp.int32))
+                    pos = pos.at[sl].set(jnp.asarray(r_start))
+                    gen_count = gen_count.at[sl].set(1)
+                    for j, si in enumerate(refill_slots):
+                        slot_tokens[si] = [int(np.asarray(r_first)[j])]
+                        slot_hidden[si] = [r_hidden[j, r_last[j]][None]]
+                        slot_prompt_hidden[si] = r_hidden[j, :r_lens[j]]
+                        slot_gen[si] = 1
+                    t_refill += _time.perf_counter() - _t0
+
+        if dbg:
+            logger.warning(
+                "generate_many: %d chunks decode=%.2fs sync=%.2fs "
+                "refill=%.2fs", n_chunks, t_decode, t_sync, t_refill)
+        ordered = [results[i] for i in range(n)]
+        cols = list(zip(*ordered))
+        return GenerationResult(
+            texts=list(cols[0]), prompt_token_ids=list(cols[1]),
+            output_token_ids=list(cols[2]),
+            prompt_hidden_states=list(cols[3]),
+            hidden_states=list(cols[4]), input_prompts=list(cols[5]),
         )
 
 
@@ -601,13 +852,19 @@ class MllamaVllmGenerateModel:
 
         order = sorted(range(n), key=est_tokens)
         out: Dict[int, Any] = {}
-        for start in range(0, n, self.max_num_seqs):
-            idxs = order[start: start + self.max_num_seqs]
+        # image-size-sorted groups of max_num_seqs share one vision/prefill
+        # geometry; inside each group the engine continuous-batches over
+        # `max_num_seqs` decode slots (EOS frees a slot for the next prompt
+        # — the role vLLM's scheduler plays for the reference)
+        group = self.max_num_seqs * 4
+        for start in range(0, n, group):
+            idxs = order[start: start + group]
             sub = {
                 "images": [images[i] for i in idxs],
                 "answers": [batch["answers"][i] for i in idxs],
             }
-            result = self.engine.generate(sub, seed=start)
+            result = self.engine.generate_many(
+                sub, seed=start, slots=self.max_num_seqs)
             for j, i in enumerate(idxs):
                 out[i] = (
                     result.texts[j], result.input_prompts[j],

@@ -44,6 +44,10 @@ class FluxConfig:
     rope_theta: float = 10000.0
     guidance_embeds: bool = True      # dev=True, schnell=False
     dtype: Any = jnp.float32
+    # weight-only int8 (kernel_q + kernel_scale leaves, ops/quant layout):
+    # the 12B dev geometry fits a single 16 GB v5e in int8 (bf16 needs the
+    # `model` mesh axis)
+    quant_int8: bool = False
 
     @property
     def head_dim(self):
@@ -146,8 +150,10 @@ class DoubleBlock(nn.Module):
     def __call__(self, img, txt, temb, cos, sin):
         cfg = self.cfg
         d, h, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
-        dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
-                                            param_dtype=cfg.dtype)
+        from thinkdiff_tpu.models.t5 import QDense
+
+        dense = lambda feat, name: QDense(feat, name=name, dtype=cfg.dtype,
+                                          quant=cfg.quant_int8, use_bias=True)
         mod = jax.nn.silu(temb)
         img_mod = dense(6 * d, "img_mod")(mod)
         txt_mod = dense(6 * d, "txt_mod")(mod)
@@ -211,8 +217,10 @@ class SingleBlock(nn.Module):
         cfg = self.cfg
         d, h, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
         mlp_dim = int(d * cfg.mlp_ratio)
-        dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
-                                            param_dtype=cfg.dtype)
+        from thinkdiff_tpu.models.t5 import QDense
+
+        dense = lambda feat, name: QDense(feat, name=name, dtype=cfg.dtype,
+                                          quant=cfg.quant_int8, use_bias=True)
         mod = dense(3 * d, "mod")(jax.nn.silu(temb))
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         xn = modulate(
@@ -246,8 +254,10 @@ class FluxTransformer(nn.Module):
         [0, 1]; ids: (S, 3). Returns velocity prediction (B, S_img, 64)."""
         cfg = self.cfg
         d = cfg.hidden_size
-        dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
-                                            param_dtype=cfg.dtype)
+        from thinkdiff_tpu.models.t5 import QDense
+
+        dense = lambda feat, name: QDense(feat, name=name, dtype=cfg.dtype,
+                                          quant=cfg.quant_int8, use_bias=True)
         img = dense(d, "x_embedder")(img.astype(cfg.dtype))
         txt = dense(d, "context_embedder")(txt.astype(cfg.dtype))
 

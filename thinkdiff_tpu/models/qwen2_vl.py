@@ -219,12 +219,15 @@ class Qwen2Attention(nn.Module):
     cfg: Qwen2VLConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask=None, cache=None, cache_len=None):
+    def __call__(self, x, cos, sin, mask=None, cache=None, cache_len=None,
+                 attn_window=None):
         """x: (B, T, D); cos/sin: (B, T, hd/2) M-RoPE tables.
 
         Without cache: causal self attention (prefill/training).
         With cache (k, v) of shape (B, Hkv, S, hd): decode — append T new
-        entries at cache_len, attend over the valid prefix.
+        entries at cache_len, attend over the valid prefix. ``attn_window``
+        (STATIC int) bounds the cache region read by attention — the
+        length-aware decode path: short contexts read W bytes, not S.
         Returns (out, new_cache).
         """
         cfg = self.cfg
@@ -254,7 +257,12 @@ class Qwen2Attention(nn.Module):
         else:
             k_cache, v_cache = cache
             k_cache, v_cache, _ = update_kv_cache(k_cache, v_cache, k, v, cache_len)
-            out = decode_attention(q, k_cache, v_cache, cache_len + t)
+            if attn_window is not None and attn_window < k_cache.shape[2]:
+                out = decode_attention(
+                    q, k_cache[:, :, :attn_window],
+                    v_cache[:, :, :attn_window], cache_len + t)
+            else:
+                out = decode_attention(q, k_cache, v_cache, cache_len + t)
             new_cache = (k_cache, v_cache)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * hd)
         out = qd(cfg.hidden_size, "o_proj", False)(out)
@@ -265,12 +273,14 @@ class Qwen2Block(nn.Module):
     cfg: Qwen2VLConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask=None, cache=None, cache_len=None):
+    def __call__(self, x, cos, sin, mask=None, cache=None, cache_len=None,
+                 attn_window=None):
         cfg = self.cfg
         norm = lambda name: RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
                                     cfg.dtype, name=name)
         h, new_cache = Qwen2Attention(cfg, name="self_attn")(
-            norm("input_norm")(x), cos, sin, mask, cache, cache_len
+            norm("input_norm")(x), cos, sin, mask, cache, cache_len,
+            attn_window
         )
         x = x + h
         from thinkdiff_tpu.models.t5 import QDense
@@ -300,7 +310,7 @@ class Qwen2Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_embeds, position_ids, mask=None,
-                 caches=None, cache_len=None):
+                 caches=None, cache_len=None, attn_window=None):
         """input_embeds (B, T, D); position_ids (3, B, T) for M-RoPE.
 
         Returns (logits, norm_hidden, new_caches) where norm_hidden is the
@@ -314,7 +324,7 @@ class Qwen2Decoder(nn.Module):
         for i in range(cfg.num_layers):
             layer_cache = caches[i] if caches is not None else None
             x, nc = Qwen2Block(cfg, name=f"layer_{i}")(
-                x, cos, sin, mask, layer_cache, cache_len
+                x, cos, sin, mask, layer_cache, cache_len, attn_window
             )
             new_caches.append(nc)
         hidden = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.dtype,
@@ -349,7 +359,8 @@ class Qwen2VLModel(nn.Module):
 
     def __call__(self, input_ids=None, input_embeds=None, position_ids=None,
                  mask=None, caches=None, cache_len=None,
-                 image_embeds=None, image_mask=None, compute_logits=True):
+                 image_embeds=None, image_mask=None, compute_logits=True,
+                 attn_window=None):
         """image_embeds (B, T, D) scattered into positions where
         image_mask (B, T) is 1 (vision tokens replace their placeholder
         embeddings, HF semantics). ``compute_logits=False`` skips the
@@ -362,7 +373,7 @@ class Qwen2VLModel(nn.Module):
                 image_embeds.astype(input_embeds.dtype), input_embeds,
             )
         hidden, new_caches = self.decoder(
-            input_embeds, position_ids, mask, caches, cache_len
+            input_embeds, position_ids, mask, caches, cache_len, attn_window
         )
         logits = self.logits(hidden) if compute_logits else None
         return logits, hidden, new_caches
