@@ -263,3 +263,56 @@ def test_embed_collator_bucketed_lengths():
     assert batch["labels"].shape[1] in (32, 64)
     # masks mark only the real prefix
     assert int(batch["embed_mask"][0].sum()) < 20
+
+
+# ------------------- map-style annotation datasets (§2.5) -------------------
+
+
+def test_annotation_dataset_loads_both_json_layouts(tmp_path):
+    import json
+
+    from thinkdiff_tpu.data.pipeline import AnnotationDataset
+
+    (tmp_path / "a.json").write_text(json.dumps(
+        [{"image": "x.jpg", "caption": "a"}, {"image": "y.jpg", "caption": "b"}]))
+    (tmp_path / "b.json").write_text(json.dumps(
+        {"annotations": [{"image": "z.jpg", "caption": "c"}]}))
+    ds = AnnotationDataset(ann_paths=[str(tmp_path / "a.json"),
+                                      str(tmp_path / "b.json")])
+    assert len(ds) == 3
+    # instance ids are global, stringly (reference base_dataset.py:53-56)
+    assert [s["instance_id"] for s in ds.annotation] == ["0", "1", "2"]
+    batch = ds.collater([ds[0], ds[2]])
+    assert batch["caption"] == ["a", "c"]
+
+
+def test_concat_map_dataset_intersects_keys_on_collate(tmp_path):
+    import json
+
+    from thinkdiff_tpu.data.pipeline import AnnotationDataset, ConcatMapDataset
+
+    (tmp_path / "a.json").write_text(json.dumps(
+        [{"caption": "a", "extra": 1}, {"caption": "b", "extra": 2}]))
+    (tmp_path / "b.json").write_text(json.dumps(
+        [{"caption": "c", "other": 9}]))
+    d1 = AnnotationDataset(ann_paths=[str(tmp_path / "a.json")])
+    d2 = AnnotationDataset(ann_paths=[str(tmp_path / "b.json")])
+    cat = ConcatMapDataset([d1, d2])
+    assert len(cat) == 3 and cat[2]["caption"] == "c"
+    # mixing samples from both: only shared keys survive
+    batch = cat.collater([cat[0], cat[2]])
+    assert set(batch) == {"caption", "instance_id"}
+    assert batch["caption"] == ["a", "c"]
+
+
+def test_default_collate_stacks_arrays():
+    import numpy as np
+
+    from thinkdiff_tpu.data.pipeline import default_collate
+
+    out = default_collate([
+        {"x": np.zeros((2, 3)), "n": 1, "s": "p"},
+        {"x": np.ones((2, 3)), "n": 2, "s": "q"},
+    ])
+    assert out["x"].shape == (2, 2, 3)
+    assert out["n"].tolist() == [1, 2] and out["s"] == ["p", "q"]

@@ -143,6 +143,99 @@ class MapDatasetLoader:
                 yield self.collator(samples) if self.collator else samples
 
 
+def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """torch.default_collate analog: stack numeric fields, list the rest."""
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        first = vals[0]
+        if isinstance(first, np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(first, (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class AnnotationDataset:
+    """Map-style dataset over annotation JSON files (reference
+    base_dataset.py:17-56): accepts both a plain list and the
+    ``{"annotations": [...]}`` layout, tags every record with a string
+    ``instance_id``, and exposes the processor/collate hooks subclasses
+    override."""
+
+    def __init__(self, vis_processor=None, text_processor=None,
+                 vis_root: Optional[str] = None,
+                 ann_paths: Sequence[str] = ()):
+        import json
+
+        self.vis_root = vis_root
+        self.annotation: List[Dict[str, Any]] = []
+        for ann_path in ann_paths:
+            with open(ann_path) as f:
+                ann = json.load(f)
+            self.annotation.extend(
+                ann["annotations"] if isinstance(ann, dict) else ann)
+        self.vis_processor = vis_processor
+        self.text_processor = text_processor
+        self._add_instance_ids()
+
+    def __len__(self):
+        return len(self.annotation)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        return self.annotation[index]
+
+    def collater(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+        return default_collate(samples)
+
+    def set_processors(self, vis_processor, text_processor):
+        self.vis_processor = vis_processor
+        self.text_processor = text_processor
+
+    def _add_instance_ids(self, key: str = "instance_id"):
+        for idx, ann in enumerate(self.annotation):
+            ann[key] = str(idx)
+
+
+class ConcatMapDataset:
+    """Concatenation of map-style datasets whose collation keeps only the
+    keys shared by EVERY sample in the batch (reference base_dataset.py:
+    59-78 — mixing datasets with different field sets collates safely)."""
+
+    def __init__(self, datasets: Sequence[Any]):
+        if not datasets:
+            raise ValueError("ConcatMapDataset needs at least one dataset")
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for d in self.datasets:
+            self._offsets.append(total)
+            total += len(d)
+        self._total = total
+
+    def __len__(self):
+        return self._total
+
+    def __getitem__(self, index: int):
+        if index < 0:
+            index += self._total
+        if not 0 <= index < self._total:
+            raise IndexError(index)
+        import bisect
+
+        di = bisect.bisect_right(self._offsets, index) - 1
+        return self.datasets[di][index - self._offsets[di]]
+
+    def collater(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+        shared = set(samples[0])
+        for s in samples[1:]:
+            shared &= set(s)
+        return self.datasets[0].collater(
+            [{k: s[k] for k in s if k in shared} for s in samples])
+
+
 class IterLoader:
     """Infinite epoch-wrapping iterator (reference dataloader_utils.py:127-162)."""
 

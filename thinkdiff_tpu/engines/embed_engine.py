@@ -189,7 +189,11 @@ class EmbedEngine:
                              "Qwen/Qwen2-VL-2B-Instruct")
         dtype = str_to_dtype(model_cfg.get("dtype", "bfloat16"))
         vcfg_early = model_cfg.get("vllm_config", {}) or {}
-        quant = str(vcfg_early.get("quantization", "")).lower() == "int8"
+        # quantization: int8 (weight-only, Pallas decode gemv) | int8_dyn
+        # (w8a8 — s8xs8 XLA dots, halved decode weight reads, no launches)
+        qname = str(vcfg_early.get("quantization", "")).lower()
+        quant = {"int8": True, "int8_dyn": "w8a8", "w8a8": "w8a8"}.get(
+            qname, False)
         if "7B" in str(path):
             cfg = Qwen2VLConfig.qwen2_vl_7b(dtype=dtype, quant_int8=quant)
         else:

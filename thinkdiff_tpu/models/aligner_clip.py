@@ -50,12 +50,17 @@ class BlipVisionT5Decoder(BaseModel):
         super().__init__(cfg)
         cfg = self.cfg
         self.dtype = str_to_dtype(cfg.get("dtype", "bfloat16"))
-        self.quantize_frozen = cfg.get("quantize_frozen", None) == "int8"
+        # quantize_frozen: None | "int8" (weight-only) | "int8_dyn" (w8a8)
+        qmode = cfg.get("quantize_frozen", None)
+        if qmode not in (None, "int8", "int8_dyn"):
+            raise ValueError(f"Unsupported quantize_frozen '{qmode}'")
+        self.quantize_frozen = qmode is not None
         t5_over = dict(cfg.get("t5_config", {}))
         vit_over = dict(cfg.get("vision_config", {}))
         self.t5_cfg = T5Config(**{
             **dict(dtype=self.dtype, dropout_rate=0.0,
-                   quant_int8=self.quantize_frozen),
+                   quant_int8={"int8": True, "int8_dyn": "w8a8"}.get(
+                       qmode, False)),
             **t5_over,
         })
         self.vit_cfg = ViTConfig(**{**dict(dtype=self.dtype), **vit_over})

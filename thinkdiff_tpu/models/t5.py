@@ -51,7 +51,9 @@ class T5Config:
     tie_word_embeddings: bool = False
     dropout_rate: float = 0.1
     remat: bool = False  # jax.checkpoint each block: activations -> recompute
-    quant_int8: bool = False  # weight-only int8 for the frozen tower
+    # False | True/"int8" (weight-only) | "w8a8" (int8 activations too) —
+    # quantization of the frozen tower (see QDense)
+    quant_int8: Any = False
     dtype: Any = jnp.float32
 
     @property
@@ -106,12 +108,22 @@ def relative_position_bucket(relative_position, bidirectional: bool,
 
 class QDense(nn.Module):
     """Dense; optionally stores the kernel as int8 + per-output f32 scales
-    (weight-only quantization for FROZEN params; dequant fuses into the
-    matmul). Param layout matches ops/quant.quantize_tree."""
+    (quantization for FROZEN params). Param layout matches
+    ops/quant.quantize_tree.
+
+    ``quant`` modes:
+      False          — plain bf16/f32 kernel.
+      True / "int8"  — weight-only int8: dequant fuses into a bf16 matmul
+                       (halves HBM weight footprint + reads).
+      "w8a8"         — weights int8 AND activations dynamically quantized
+                       per-token; the dot runs s8xs8 on the MXU at 2x bf16
+                       peak (ops/quant.int8_dynamic_matmul, custom VJP —
+                       frozen weights, dx-only backward).
+    """
 
     features: int
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False
     use_bias: bool = False
 
     @nn.compact
@@ -130,9 +142,18 @@ class QDense(nn.Module):
             rows = 1
             for dim in x.shape[:-1]:
                 rows *= dim
-            if rows <= 32 and jax.default_backend() in ("tpu", "axon"):
-                # decode gemv: XLA's convert doesn't fuse into narrow
-                # matvecs (measured 75x slow) — stream int8 in Pallas
+            if self.quant == "w8a8":
+                # dynamic per-token activation quant + s8xs8 dot: the MXU
+                # consumes int8 directly (2x bf16 peak, wide shapes) and the
+                # narrow decode matvec reads HALF the weight bytes with NO
+                # bf16 materialization — the convert problem the Pallas gemv
+                # works around simply doesn't exist here
+                from thinkdiff_tpu.ops.quant import int8_dynamic_matmul
+
+                y = int8_dynamic_matmul(x.astype(self.dtype), q, scale)
+            elif rows <= 32 and jax.default_backend() in ("tpu", "axon"):
+                # weight-only decode gemv: XLA's convert doesn't fuse into
+                # narrow matvecs (measured 75x slow) — stream int8 in Pallas
                 from thinkdiff_tpu.ops.int8_matmul import int8_matmul
 
                 y = int8_matmul(x.astype(self.dtype), q, scale,

@@ -31,6 +31,64 @@ def dequantize_weight(qw) -> jnp.ndarray:
     return qw["q"].astype(jnp.bfloat16) * qw["scale"].astype(jnp.bfloat16)[None]
 
 
+def _absmax_quant_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(M, K) float -> per-row absmax int8: (int8 (M, K), f32 scale (M,))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[:, None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _w8a8_fwd_impl(x, q, scale):
+    shape = x.shape
+    xm = x.reshape(-1, shape[-1])
+    xq, sx = _absmax_quant_rows(xm)
+    acc = jax.lax.dot_general(xq, q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx[:, None] * scale[None, :].astype(jnp.float32)
+    return y.reshape(*shape[:-1], q.shape[1]).astype(x.dtype)
+
+
+@jax.custom_vjp
+def int8_dynamic_matmul(x, q, scale):
+    """w8a8 matmul: both operands hit the MXU as int8 (2x bf16 peak on v5e,
+    measured 1.37x end-to-end at flan-t5-xxl shapes — PERF.md).
+
+    ``x (..., K)`` float activations, quantized per-row (per-token) absmax
+    on the fly; ``q (K, N)`` int8 weights with per-output-channel ``scale
+    (N,)`` (ops/quant.quantize_weight layout). The weights are FROZEN by
+    contract: the custom VJP returns dx only.
+
+    Backward folds the output scales into dy, requantizes per-row, and runs
+    a second s8xs8 dot over the N axis:
+        dx_j = sum_f dy_f * scale_f * q_{jf}  ~=  sg * sum_f g^q_f q_{jf}.
+    """
+    return _w8a8_fwd_impl(x, q, scale)
+
+
+def _w8a8_fwd(x, q, scale):
+    return _w8a8_fwd_impl(x, q, scale), (q, scale)
+
+
+def _w8a8_bwd(res, dy):
+    q, scale = res
+    # x had shape dy.shape[:-1] + (K,) and dy's dtype (fwd casts to x.dtype)
+    dym = dy.reshape(-1, dy.shape[-1])
+    g = dym.astype(jnp.float32) * scale[None, :].astype(jnp.float32)
+    gq, sg = _absmax_quant_rows(g)
+    acc = jax.lax.dot_general(gq, q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * sg[:, None]).reshape(
+        *dy.shape[:-1], q.shape[0])
+    return (dx.astype(dy.dtype),
+            np.zeros(q.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+int8_dynamic_matmul.defvjp(_w8a8_fwd, _w8a8_bwd)
+
+
 def quantize_tree(params: Any, min_size: int = 1 << 16) -> Any:
     """Quantize every 2-D 'kernel' leaf bigger than ``min_size`` elements to
     sibling leaves ``kernel_q`` (int8) + ``kernel_scale`` (f32) — the param
