@@ -27,6 +27,11 @@ def main():
     parser.add_argument("--n", type=int, default=0,
                         help="request count for continuous mode "
                              "(default 4x batch)")
+    parser.add_argument("--quant", choices=["none", "int8", "w8a8"],
+                        default="none",
+                        help="frozen-weight quantization of the LM stack "
+                             "(int8: weight-only Pallas decode gemv; w8a8: "
+                             "s8xs8 XLA dots, halved decode weight reads)")
     parser.add_argument("--mean-len", type=int, default=80,
                         help="emulated generation-length mean (the CC-SBU "
                              "caption workload finishes at EOS well before "
@@ -44,11 +49,13 @@ def main():
         Qwen2VLConfig, Qwen2VLModel, Qwen2VisionTower,
     )
 
-    cfg = Qwen2VLConfig.qwen2_vl_2b()
+    quant = {"none": False, "int8": True, "w8a8": "w8a8"}[args.quant]
+    cfg = Qwen2VLConfig.qwen2_vl_2b(quant_int8=quant)
     # tiny-vocab trick is NOT used: keep the real 151936 vocab (lm_head cost
     # matters). Random init at full geometry.
     rng = jax.random.PRNGKey(0)
-    print("initializing Qwen2-VL-2B geometry (random weights)...")
+    print(f"initializing Qwen2-VL-2B geometry (random weights, "
+          f"quant={args.quant})...")
     vision = Qwen2VisionTower(cfg.vision)
     lm = Qwen2VLModel(cfg)
     vp = jax.jit(lambda r: vision.init(

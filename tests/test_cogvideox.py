@@ -67,6 +67,175 @@ def test_sampler_end_to_end_tiny(tiny):
     assert np.isfinite(np.asarray(lat)).all()
 
 
+# ------------- torch reference for the full transformer (no diffusers) -----
+# An independent torch implementation of the published CogVideoX-5b
+# semantics (video-first LayerNormZero chunks, shared affine LN, LayerNorm
+# qk-norm eps 1e-6, inner_dim timestep freqs, Conv2d patch embed, joint
+# norm_final, shift-first AdaLN head, (C,p,p) proj_out layout) with
+# diffusers state_dict key names, used to validate convert_cogvideox end to
+# end on random weights.
+
+
+def _build_torch_cogvideox(cfg, seed=0):
+    import torch
+    from torch import nn as tnn
+
+    d, hd, tdim = cfg.hidden_size, cfg.head_dim, cfg.time_embed_dim
+    mlp = int(cfg.hidden_size * cfg.mlp_ratio)
+    torch.manual_seed(seed)
+
+    class LNZero(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear = tnn.Linear(tdim, 6 * d)
+            self.norm = tnn.LayerNorm(d, eps=1e-5)
+
+        def forward(self, vid, txt, temb):
+            sh, sc, g, esh, esc, eg = self.linear(
+                torch.nn.functional.silu(temb)).chunk(6, dim=1)
+            vid = self.norm(vid) * (1 + sc[:, None]) + sh[:, None]
+            txt = self.norm(txt) * (1 + esc[:, None]) + esh[:, None]
+            return vid, txt, g[:, None], eg[:, None]
+
+    class GELUProj(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = tnn.Linear(d, mlp)
+
+        def forward(self, x):
+            return torch.nn.functional.gelu(self.proj(x), approximate="tanh")
+
+    class Attn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.to_q = tnn.Linear(d, d)
+            self.to_k = tnn.Linear(d, d)
+            self.to_v = tnn.Linear(d, d)
+            self.norm_q = tnn.LayerNorm(hd, eps=1e-6)
+            self.norm_k = tnn.LayerNorm(hd, eps=1e-6)
+            self.to_out = tnn.ModuleList([tnn.Linear(d, d)])
+
+        def forward(self, x, st, cos, sin):
+            b, s, _ = x.shape
+            h = cfg.num_heads
+
+            def heads(t):
+                return t.reshape(b, s, h, hd).permute(0, 2, 1, 3)
+
+            q = self.norm_q(heads(self.to_q(x)))
+            k = self.norm_k(heads(self.to_k(x)))
+            v = heads(self.to_v(x))
+
+            def rope(t):  # interleaved pairing (apply_rotary_emb dim=-1)
+                tr = torch.stack([-t[..., 1::2], t[..., 0::2]],
+                                 dim=-1).flatten(-2)
+                return t * cos + tr * sin
+
+            q = torch.cat([q[:, :, :st], rope(q[:, :, st:])], dim=2)
+            k = torch.cat([k[:, :, :st], rope(k[:, :, st:])], dim=2)
+            o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+            return self.to_out[0](o.permute(0, 2, 1, 3).reshape(b, s, d))
+
+    class Block(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1, self.norm2 = LNZero(), LNZero()
+            self.attn1 = Attn()
+            self.ff = tnn.Module()
+            self.ff.net = tnn.ModuleList(
+                [GELUProj(), tnn.Identity(), tnn.Linear(mlp, d)])
+
+        def forward(self, vid, txt, temb, cos, sin):
+            st = txt.shape[1]
+            nv, nt, g, eg = self.norm1(vid, txt, temb)
+            a = self.attn1(torch.cat([nt, nv], dim=1), st, cos, sin)
+            vid = vid + g * a[:, st:]
+            txt = txt + eg * a[:, :st]
+            nv, nt, gf, egf = self.norm2(vid, txt, temb)
+            y = self.ff.net[2](self.ff.net[0](torch.cat([nt, nv], dim=1)))
+            return vid + gf * y[:, st:], txt + egf * y[:, :st]
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            p = cfg.patch_size
+            self.patch_embed = tnn.Module()
+            self.patch_embed.proj = tnn.Conv2d(
+                cfg.in_channels, d, kernel_size=p, stride=p)
+            self.patch_embed.text_proj = tnn.Linear(cfg.text_dim, d)
+            self.time_embedding = tnn.Module()
+            self.time_embedding.linear_1 = tnn.Linear(d, tdim)
+            self.time_embedding.linear_2 = tnn.Linear(tdim, tdim)
+            self.transformer_blocks = tnn.ModuleList(
+                [Block() for _ in range(cfg.num_layers)])
+            self.norm_final = tnn.LayerNorm(d, eps=1e-5)
+            self.norm_out = tnn.Module()
+            self.norm_out.linear = tnn.Linear(tdim, 2 * d)
+            self.norm_out.norm = tnn.LayerNorm(d, eps=1e-5)
+            self.proj_out = tnn.Linear(d, p * p * cfg.in_channels)
+
+        def forward(self, lat, text, timestep):
+            # lat (B, T, H, W, C) channels-last like the JAX model
+            import math as _math
+            p = cfg.patch_size
+            b, t, hh, ww, c = lat.shape
+            half = d // 2
+            freqs = torch.exp(
+                -_math.log(10000.0) * torch.arange(half).float() / half)
+            ang = timestep.float()[:, None] * freqs[None]
+            emb = torch.cat([torch.cos(ang), torch.sin(ang)], dim=-1)
+            temb = self.time_embedding.linear_2(torch.nn.functional.silu(
+                self.time_embedding.linear_1(emb)))
+
+            x = lat.permute(0, 1, 4, 2, 3).reshape(b * t, c, hh, ww)
+            x = self.patch_embed.proj(x)  # (b*t, d, h/p, w/p)
+            vid = x.flatten(2).transpose(1, 2).reshape(b, -1, d)
+            txt = self.patch_embed.text_proj(text)
+
+            cos, sin = video_rope_cos_sin(
+                t, hh // p, ww // p, hd, cfg.rope_theta)
+            cos = torch.tensor(np.asarray(cos))[None, None]
+            sin = torch.tensor(np.asarray(sin))[None, None]
+            for blk in self.transformer_blocks:
+                vid, txt = blk(vid, txt, temb, cos, sin)
+            st = txt.shape[1]
+            vid = self.norm_final(torch.cat([txt, vid], dim=1))[:, st:]
+            sh, sc = self.norm_out.linear(
+                torch.nn.functional.silu(temb)).chunk(2, dim=1)
+            vid = self.norm_out.norm(vid) * (1 + sc[:, None]) + sh[:, None]
+            out = self.proj_out(vid)  # features in (C, p, p) order
+            out = out.reshape(b, t, hh // p, ww // p, c, p, p)
+            out = out.permute(0, 1, 2, 5, 3, 6, 4).reshape(b, t, hh, ww, c)
+            return out
+
+    return Model()
+
+
+def test_transformer_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    cfg = CogVideoXConfig.tiny()
+    ref = _build_torch_cogvideox(cfg)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    from thinkdiff_tpu.models.cogvideox import convert_cogvideox
+
+    params = convert_cogvideox(sd)
+    model = CogVideoXTransformer(cfg)
+
+    rs = np.random.RandomState(0)
+    lat = rs.randn(2, 2, 8, 8, cfg.in_channels).astype(np.float32)
+    txt = rs.randn(2, 5, cfg.text_dim).astype(np.float32)
+    ts = np.asarray([17, 903], np.int64)
+
+    with torch.no_grad():
+        want = ref(torch.tensor(lat), torch.tensor(txt),
+                   torch.tensor(ts)).numpy()
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(lat), jnp.asarray(txt),
+        jnp.asarray(ts, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 # ------------- torch-validated primitive numerics (no diffusers) ------------
 # diffusers isn't in this image, but its CogVideoX VAE primitives reduce to
 # torch ops we CAN check: causal conv3d == conv3d(replicate-time + zero-space

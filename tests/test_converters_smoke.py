@@ -131,27 +131,40 @@ def test_convert_vae_decoder_layout_applies():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def _ln(sd, key, dim):
+    sd[key + ".weight"] = np.ones(dim, np.float32)
+    sd[key + ".bias"] = np.zeros(dim, np.float32)
+
+
 def test_convert_cogvideox_layout_applies():
     cfg = CogVideoXConfig.tiny()
     d, mlp = cfg.hidden_size, int(cfg.hidden_size * cfg.mlp_ratio)
+    p = cfg.patch_size
     sd = {}
-    _lin(sd, "patch_embed.proj", cfg.patch_size ** 2 * cfg.in_channels, d)
+    rs = np.random.RandomState(0)
+    sd["patch_embed.proj.weight"] = rs.randn(
+        d, cfg.in_channels, p, p).astype(np.float32) * 0.05
+    sd["patch_embed.proj.bias"] = rs.randn(d).astype(np.float32) * 0.05
     _lin(sd, "patch_embed.text_proj", cfg.text_dim, d)
-    _lin(sd, "time_embedding.linear_1", 256, cfg.time_embed_dim)
+    _lin(sd, "time_embedding.linear_1", d, cfg.time_embed_dim)
     _lin(sd, "time_embedding.linear_2", cfg.time_embed_dim, cfg.time_embed_dim)
     for i in range(cfg.num_layers):
         hb = f"transformer_blocks.{i}."
         _lin(sd, hb + "norm1.linear", cfg.time_embed_dim, 6 * d)
         _lin(sd, hb + "norm2.linear", cfg.time_embed_dim, 6 * d)
-        for p in ("to_q", "to_k", "to_v"):
-            _lin(sd, hb + "attn1." + p, d, d)
-        sd[hb + "attn1.norm_q.weight"] = np.ones(cfg.head_dim, np.float32)
-        sd[hb + "attn1.norm_k.weight"] = np.ones(cfg.head_dim, np.float32)
+        _ln(sd, hb + "norm1.norm", d)
+        _ln(sd, hb + "norm2.norm", d)
+        for pj in ("to_q", "to_k", "to_v"):
+            _lin(sd, hb + "attn1." + pj, d, d)
+        _ln(sd, hb + "attn1.norm_q", cfg.head_dim)
+        _ln(sd, hb + "attn1.norm_k", cfg.head_dim)
         _lin(sd, hb + "attn1.to_out.0", d, d)
         _lin(sd, hb + "ff.net.0.proj", d, mlp)
         _lin(sd, hb + "ff.net.2", mlp, d)
+    _ln(sd, "norm_final", d)
     _lin(sd, "norm_out.linear", cfg.time_embed_dim, 2 * d)
-    _lin(sd, "proj_out", d, cfg.patch_size ** 2 * cfg.in_channels)
+    _ln(sd, "norm_out.norm", d)
+    _lin(sd, "proj_out", d, p * p * cfg.in_channels)
 
     params = convert_cogvideox(sd)
     model = CogVideoXTransformer(cfg)

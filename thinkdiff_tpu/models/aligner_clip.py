@@ -95,18 +95,12 @@ class BlipVisionT5Decoder(BaseModel):
             )
 
         if self.quantize_frozen:
-            # shapes only; host randoms (real use converts HF weights)
-            import numpy as _np
+            # random-init path (real use converts HF weights): generate +
+            # quantize leaf-by-leaf on device — the fp tower never exists
+            from thinkdiff_tpu.ops.quant import quantize_leaves_on_device
 
             shapes = jax.eval_shape(_init_fp)
-            host_rng = _np.random.RandomState(seed)
-
-            def materialize(s):
-                if _np.issubdtype(_np.dtype(s.dtype), _np.floating):
-                    return host_rng.normal(0, 0.05, s.shape).astype(s.dtype)
-                return _np.zeros(s.shape, s.dtype)
-
-            t5_vars = jax.tree.map(materialize, shapes)
+            t5_vars = quantize_leaves_on_device(shapes, seed)
         else:
             t5_vars = _init_fp()
 

@@ -114,19 +114,14 @@ class MllamaT5EmbedDecoder(BaseModel):
             )
 
         if self.quantize_frozen:
-            # no device compute: shapes via eval_shape, host random values
-            # (real use converts HF weights instead — convert_t5 path)
-            import numpy as _np
+            # random-init path (benchmarks; real use converts HF weights via
+            # convert_t5): generate + quantize leaf-by-leaf ON DEVICE so the
+            # fp tower never exists in full — neither in host RAM (6.5B
+            # numpy gaussians took minutes) nor in device HBM.
+            from thinkdiff_tpu.ops.quant import quantize_leaves_on_device
 
             shapes = jax.eval_shape(_init_fp)
-            host_rng = _np.random.RandomState(seed)
-
-            def materialize(s):
-                if _np.issubdtype(_np.dtype(s.dtype), _np.floating):
-                    return host_rng.normal(0, 0.05, s.shape).astype(s.dtype)
-                return _np.zeros(s.shape, s.dtype)
-
-            t5_vars = jax.tree.map(materialize, shapes)
+            t5_vars = quantize_leaves_on_device(shapes, seed)
         else:
             t5_vars = _init_fp()
         t5_path = cfg.get("text_pretrained_model_name_or_path", "google/flan-t5-xxl")

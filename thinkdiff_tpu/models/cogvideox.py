@@ -11,11 +11,15 @@ separately for the text and video halves from the timestep embedding),
 qk-layernormed attention with 3D RoPE over (t, y, x) patch positions,
 gelu-tanh FFN, final AdaLN + patch unprojection, v-prediction.
 
-NOTE: diffusers is not present in this build environment, so unlike the
-T5/Qwen2-VL/CLIP stacks this model is validated structurally (shapes,
-conditioning sensitivity, scheduler math) rather than against torch
-reference outputs; the weight converter follows the published diffusers key
-layout and gets numerical validation when released weights are mountable.
+Semantics follow diffusers' ``CogVideoXTransformer3DModel`` for the RoPE
+family (CogVideoX-5b, the checkpoint the reference drives): video-first
+6-way modulation chunks, a single shared affine LayerNorm per
+LayerNormZero, LayerNorm (affine, eps 1e-6) qk-norm, timestep frequencies
+at ``inner_dim``, an affine ``norm_final`` over the joint sequence, and an
+AdaLayerNorm (shift-first) output head. Validated numerically against an
+independent torch implementation of those published semantics in
+tests/test_cogvideox.py (diffusers itself is absent from this image); the
+2b variant (learned positional embeddings, no RoPE) is not modelled.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from thinkdiff_tpu.models.flux import (
-    MLPEmbedder, QKNorm, apply_rope_interleaved, timestep_embedding,
+    MLPEmbedder, apply_rope_interleaved, timestep_embedding,
 )
 from thinkdiff_tpu.ops.flash_attention import flash_attention
 
@@ -95,24 +99,30 @@ class CogVideoXBlock(nn.Module):
         d, h, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
         dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
                                             param_dtype=cfg.dtype)
-        # non-affine: CogVideoXLayerNormZero's modulation IS the affine
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, use_scale=False,
-                                       use_bias=False, name=name,
+        # CogVideoXLayerNormZero: ONE shared affine LayerNorm normalizes both
+        # streams; the 6-way modulation is chunked VIDEO-first
+        # (shift/scale/gate for video, then the same for text).
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
                                        dtype=cfg.dtype, param_dtype=cfg.dtype)
         st = txt.shape[1]
 
-        # LayerNormZero: 6*dim for (txt shift/scale/gate, vid shift/scale/gate)
+        ln1 = ln("norm1_ln")
         mod1 = dense(6 * d, "norm1_mod")(jax.nn.silu(temb))
-        ts1, tc1, tg1, vs1, vc1, vg1 = jnp.split(mod1, 6, axis=-1)
-        txt_n = ln("norm1")(txt) * (1 + tc1[:, None]) + ts1[:, None]
-        vid_n = ln("norm1_v")(vid) * (1 + vc1[:, None]) + vs1[:, None]
+        vs1, vc1, vg1, ts1, tc1, tg1 = jnp.split(mod1, 6, axis=-1)
+        txt_n = ln1(txt) * (1 + tc1[:, None]) + ts1[:, None]
+        vid_n = ln1(vid) * (1 + vc1[:, None]) + vs1[:, None]
 
         x = jnp.concatenate([txt_n, vid_n], axis=1)
         b, s, _ = x.shape
         q = dense(d, "to_q")(x).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
         k = dense(d, "to_k")(x).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
         v = dense(d, "to_v")(x).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-        q, k = QKNorm(hd, cfg.dtype, name="qknorm")(q, k)
+        # qk-norm is an affine LayerNorm over head_dim, eps 1e-6 (diffusers
+        # Attention(qk_norm="layer_norm", eps=1e-6)), applied BEFORE rope
+        q = nn.LayerNorm(epsilon=1e-6, name="norm_q", dtype=cfg.dtype,
+                         param_dtype=cfg.dtype)(q)
+        k = nn.LayerNorm(epsilon=1e-6, name="norm_k", dtype=cfg.dtype,
+                         param_dtype=cfg.dtype)(k)
         # rope applies only to the video tokens (text ids are position-free)
         qv = apply_rope_interleaved(q[:, :, st:], cos, sin)
         kv_ = apply_rope_interleaved(k[:, :, st:], cos, sin)
@@ -124,10 +134,11 @@ class CogVideoXBlock(nn.Module):
         txt = txt + tg1[:, None] * attn[:, :st]
         vid = vid + vg1[:, None] * attn[:, st:]
 
+        ln2 = ln("norm2_ln")
         mod2 = dense(6 * d, "norm2_mod")(jax.nn.silu(temb))
-        ts2, tc2, tg2, vs2, vc2, vg2 = jnp.split(mod2, 6, axis=-1)
-        txt_n = ln("norm2")(txt) * (1 + tc2[:, None]) + ts2[:, None]
-        vid_n = ln("norm2_v")(vid) * (1 + vc2[:, None]) + vs2[:, None]
+        vs2, vc2, vg2, ts2, tc2, tg2 = jnp.split(mod2, 6, axis=-1)
+        txt_n = ln2(txt) * (1 + tc2[:, None]) + ts2[:, None]
+        vid_n = ln2(vid) * (1 + vc2[:, None]) + vs2[:, None]
         y = jnp.concatenate([txt_n, vid_n], axis=1)
         y = dense(int(d * cfg.mlp_ratio), "ff1")(y)
         y = jax.nn.gelu(y, approximate=True)
@@ -157,8 +168,13 @@ class CogVideoXTransformer(nn.Module):
         vid = dense(cfg.hidden_size, "patch_embed")(x.astype(cfg.dtype))
         txt = dense(cfg.hidden_size, "text_embed")(text_embeds.astype(cfg.dtype))
 
+        # timestep frequencies live at inner_dim (diffusers
+        # Timesteps(inner_dim, flip_sin_to_cos=True, shift=0)), then
+        # TimestepEmbedding(inner_dim -> time_embed_dim)
         temb = MLPEmbedder(cfg.time_embed_dim, cfg.dtype, name="time_embed")(
-            timestep_embedding(timestep.astype(jnp.float32), 256).astype(cfg.dtype)
+            timestep_embedding(
+                timestep.astype(jnp.float32), cfg.hidden_size
+            ).astype(cfg.dtype)
         )
         cos, sin = video_rope_cos_sin(t, hgt // p, wdt // p, cfg.head_dim,
                                       cfg.rope_theta)
@@ -166,12 +182,20 @@ class CogVideoXTransformer(nn.Module):
             txt, vid = CogVideoXBlock(cfg, name=f"block_{i}")(
                 txt, vid, temb, cos, sin)
 
+        # norm_final: affine LN over the JOINT [text, video] sequence, then
+        # the video half goes through AdaLayerNorm (shift FIRST, affine
+        # inner LN) and the patch unprojection.
+        x = jnp.concatenate([txt, vid], axis=1)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_final", dtype=cfg.dtype,
+                         param_dtype=cfg.dtype)(x)
+        vid = x[:, txt.shape[1]:]
         mod = dense(2 * cfg.hidden_size, "norm_out_mod")(jax.nn.silu(temb))
-        scale, shift = jnp.split(mod, 2, axis=-1)
-        vid = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
-                           name="norm_out", dtype=cfg.dtype,
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        vid = nn.LayerNorm(epsilon=1e-5, name="norm_out_ln", dtype=cfg.dtype,
                            param_dtype=cfg.dtype)(vid)
         vid = vid * (1 + scale[:, None]) + shift[:, None]
+        # our feature order is (ph, pw, c); the converter permutes the torch
+        # (c, ph, pw) proj_out layout into this
         out = dense(p * p * c, "proj_out")(vid)
         out = out.reshape(b, t, hgt // p, wdt // p, p, p, c)
         out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, hgt, wdt, c)
@@ -244,24 +268,43 @@ class CogVideoXSampler:
 
 def convert_cogvideox(sd: Dict[str, np.ndarray], dtype=None) -> Dict[str, Any]:
     """diffusers CogVideoXTransformer3DModel key layout -> our params.
-    (Numerical validation pending weight availability — see module docstring.)
+
+    Layout permutations handled here (numerics verified against the torch
+    reference in tests/test_cogvideox.py::test_transformer_matches_torch):
+    - ``patch_embed.proj`` is a Conv2d ``(D, C, p, p)`` in the 5b family ->
+      our Dense over ``(p, p, C)``-flattened patches
+    - ``proj_out`` emits features in ``(C, p, p)`` order (diffusers
+      unpatchify) -> permuted into our ``(p, p, C)`` order
     """
     import re
 
     flat: Dict[str, np.ndarray] = {}
 
+    def cast(a):
+        return a.astype(dtype) if dtype is not None else a
+
     def put_linear(name, key, sd=sd):
         arr = sd[key + ".weight"]
         if arr.ndim == 2:
             arr = arr.T
-        if dtype is not None:
-            arr = arr.astype(dtype)
-        flat[name + "/kernel"] = arr
+        flat[name + "/kernel"] = cast(arr)
         if key + ".bias" in sd:
-            b = sd[key + ".bias"]
-            flat[name + "/bias"] = b.astype(dtype) if dtype is not None else b
+            flat[name + "/bias"] = cast(sd[key + ".bias"])
 
-    put_linear("patch_embed", "patch_embed.proj")
+    def put_ln(name, key):
+        flat[name + "/scale"] = cast(sd[key + ".weight"])
+        flat[name + "/bias"] = cast(sd[key + ".bias"])
+
+    pw = sd["patch_embed.proj.weight"]
+    if pw.ndim == 4:  # Conv2d (D, C, ph, pw) -> (ph*pw*C, D) dense kernel
+        dd, cc, p1, p2 = pw.shape
+        flat["patch_embed/kernel"] = cast(
+            pw.transpose(2, 3, 1, 0).reshape(p1 * p2 * cc, dd))
+        flat["patch_embed/bias"] = cast(sd["patch_embed.proj.bias"])
+        patch, cout = p1, cc
+    else:  # 1.5-style Linear (not layout-verified; 5b is the target family)
+        put_linear("patch_embed", "patch_embed.proj")
+        patch, cout = None, None
     put_linear("text_embed", "patch_embed.text_proj")
     put_linear("time_embed/linear_1", "time_embedding.linear_1")
     put_linear("time_embed/linear_2", "time_embedding.linear_2")
@@ -272,15 +315,27 @@ def convert_cogvideox(sd: Dict[str, np.ndarray], dtype=None) -> Dict[str, Any]:
         hb, ob = f"transformer_blocks.{i}.", f"block_{i}"
         put_linear(f"{ob}/norm1_mod", hb + "norm1.linear")
         put_linear(f"{ob}/norm2_mod", hb + "norm2.linear")
+        put_ln(f"{ob}/norm1_ln", hb + "norm1.norm")
+        put_ln(f"{ob}/norm2_ln", hb + "norm2.norm")
         for p in ("to_q", "to_k", "to_v"):
             put_linear(f"{ob}/{p}", hb + f"attn1.{p}")
         put_linear(f"{ob}/to_out", hb + "attn1.to_out.0")
-        flat[f"{ob}/qknorm/q_scale"] = sd[hb + "attn1.norm_q.weight"]
-        flat[f"{ob}/qknorm/k_scale"] = sd[hb + "attn1.norm_k.weight"]
+        put_ln(f"{ob}/norm_q", hb + "attn1.norm_q")
+        put_ln(f"{ob}/norm_k", hb + "attn1.norm_k")
         put_linear(f"{ob}/ff1", hb + "ff.net.0.proj")
         put_linear(f"{ob}/ff2", hb + "ff.net.2")
+    put_ln("norm_final", "norm_final")
     put_linear("norm_out_mod", "norm_out.linear")
+    put_ln("norm_out_ln", "norm_out.norm")
     put_linear("proj_out", "proj_out")
+    if patch is not None:  # (D, C*p*p in (C,p,p) order) -> (D, p*p*C)
+        k = flat["proj_out/kernel"]
+        d_in = k.shape[0]
+        flat["proj_out/kernel"] = k.reshape(
+            d_in, cout, patch, patch).transpose(0, 2, 3, 1).reshape(
+            d_in, patch * patch * cout)
+        flat["proj_out/bias"] = flat["proj_out/bias"].reshape(
+            cout, patch, patch).transpose(1, 2, 0).reshape(-1)
 
     from thinkdiff_tpu.models.convert import _nest
 

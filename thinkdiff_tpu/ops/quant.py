@@ -89,6 +89,61 @@ def _w8a8_bwd(res, dy):
 int8_dynamic_matmul.defvjp(_w8a8_fwd, _w8a8_bwd)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _gen_normal_leaf(key, shape, dtype_name):
+    return (jax.random.normal(key, shape, jnp.float32) * 0.05
+            ).astype(jnp.dtype(dtype_name))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _gen_quant_leaf(key, shape):
+    w = jax.random.normal(key, shape, jnp.float32) * 0.05
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(w / scale[None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_leaves_on_device(shapes: Any, seed: int = 0) -> Any:
+    """Random-init a param tree of ``jax.eval_shape`` structs directly in
+    quantized form, leaf-by-leaf on device: every 2-D ``kernel`` leaf is
+    born as ``kernel_q`` int8 + ``kernel_scale`` (the quantize_tree /
+    QDense layout); other float leaves are N(0, 0.05); int leaves zeros.
+
+    The fp tower never exists anywhere in full — materializing 6.5B
+    gaussians in host numpy took minutes and shipping them through a
+    tunnel-attached device takes longer; this is seconds (the jit cache
+    collapses the T5 stack's repeated shapes)."""
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def rec(node):
+        if not isinstance(node, dict):
+            counter[0] += 1
+            k = jax.random.fold_in(key, counter[0])
+            if np.issubdtype(np.dtype(node.dtype), np.floating):
+                return _gen_normal_leaf(k, tuple(node.shape),
+                                        np.dtype(node.dtype).name)
+            return jnp.zeros(node.shape, node.dtype)
+        out = {}
+        for name, val in node.items():
+            if (name == "kernel" and not isinstance(val, dict)
+                    and len(val.shape) == 2):
+                counter[0] += 1
+                k = jax.random.fold_in(key, counter[0])
+                q, scale = _gen_quant_leaf(k, tuple(val.shape))
+                out["kernel_q"] = q
+                out["kernel_scale"] = scale
+            else:
+                out[name] = rec(val)
+        return out
+
+    return rec(dict(shapes) if isinstance(shapes, dict) else shapes)
+
+
 def quantize_tree(params: Any, min_size: int = 1 << 16) -> Any:
     """Quantize every 2-D 'kernel' leaf bigger than ``min_size`` elements to
     sibling leaves ``kernel_q`` (int8) + ``kernel_scale`` (f32) — the param
