@@ -118,9 +118,14 @@ def _fwd_kernel(
         o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
         if lse_ref is not None:
             lse = m_scratch[:, :1] + jnp.log(l_safe)          # (bq, 1)
-            # q positions in sublanes + a redundant 128-lane dim: avoids
-            # lane<->sublane transposes when the backward reads rows
-            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+            # emit COMPACT (1, 1, bq) rows — one small relayout per q
+            # block. The previous (BH, tq, 128)-broadcast output buffer
+            # cost 128x the HBM under TPU (8,128) tiling; at B32 H64 T128
+            # x 48 attention ops those buffers alone were ~3 GB and OOMed
+            # the w8a8 batch-32 training step (the scheduler keeps many
+            # alive at once). The middle singleton keeps the block legal
+            # (equal-to-array rule) at 8-sublane padding only.
+            lse_ref[...] = lse.T[None]
 
 
 def _pad_qkv(q, k, v, block_q, block_k):
@@ -238,11 +243,11 @@ def _flash_attention_forward(
     out_shapes = [jax.ShapeDtypeStruct((batch * num_heads, tq, head_dim), q.dtype)]
     if return_lse:
         out_specs.append(pl.BlockSpec(
-            (1, block_q, 128), lambda bh, qi, ki: (bh, qi, 0),
+            (1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi),
             memory_space=pltpu.VMEM,
         ))
         out_shapes.append(
-            jax.ShapeDtypeStruct((batch * num_heads, tq, 128), jnp.float32))
+            jax.ShapeDtypeStruct((batch * num_heads, 1, tq), jnp.float32))
 
     outs = pl.pallas_call(
         kernel,
@@ -269,9 +274,7 @@ def _flash_attention_forward(
     if q_pad:
         out = out[:, :, :q_len]
     if return_lse:
-        # collapse the redundant 128-lane dim before saving as a residual:
-        # (BH, tq, 128) -> (BH, tq) = 256 KB instead of 32 MB per layer
-        return out, outs[1][..., 0]
+        return out, outs[1]                  # compact (BH, 1, tq) residual
     return out
 
 
@@ -317,7 +320,7 @@ def _dq_kernel(
             mask = jnp.logical_and(mask, row >= col)
         s = jnp.where(mask, s, NEG_INF)
 
-        lse = lse_ref[0][:, :1]                                # (bq, 1)
+        lse = lse_ref[0].T                                     # (bq, 1)
         p = jnp.exp(s - lse)                                   # (bq, bk)
         do = do_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
@@ -348,7 +351,7 @@ def _dq_kernel(
 
     @pl.when(jnp.logical_and(sweep == 0, ki == num_k_blocks - 1))
     def _emit_delta():
-        delta_ref[0] = delta_scratch[:]
+        delta_ref[...] = delta_scratch[:, :1].T[None]          # (1, 1, bq)
 
     @pl.when(jnp.logical_and(sweep == 1, ki == num_k_blocks - 1))
     def _finalize():
@@ -389,7 +392,7 @@ def _dkv_kernel(
             mask = jnp.logical_and(mask, row >= col)
         s = jnp.where(mask, s, NEG_INF)
 
-        lse = lse_ref[0][:, :1]
+        lse = lse_ref[0].T                                     # (bq, 1)
         p = jnp.exp(s - lse)                                   # (bq, bk)
         do = do_ref[0].astype(jnp.float32)                     # (bq, d)
         dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
@@ -401,7 +404,7 @@ def _dkv_kernel(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        delta = delta_ref[0][:, :1]
+        delta = delta_ref[0].T                                 # (bq, 1)
         ds = p * (dp - delta)                                  # (bq, bk)
         dk_scratch[:] = dk_scratch[:] + sm_scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
@@ -444,21 +447,21 @@ def _flash_attention_backward(
     k_r = k.reshape(batch * num_kv_heads, tk, head_dim)
     v_r = v.reshape(batch * num_kv_heads, tk, head_dim)
     do_r = g_p.reshape(batch * num_heads, tq, head_dim)
-    assert lse.shape == (batch * num_heads, tq), lse.shape
-    lse = jnp.broadcast_to(lse[..., None], lse.shape + (128,))
+    assert lse.shape == (batch * num_heads, 1, tq), lse.shape
 
     kv_index_qk = lambda bh, qi, sw, ki: (
         (bh % num_heads) // group + (bh // num_heads) * num_kv_heads, ki, 0)
     kv_index_kq = lambda bh, ki, qi: (
         (bh % num_heads) // group + (bh // num_heads) * num_kv_heads, ki, 0)
 
-    # row vectors (lse/delta) as (1, block_q, 128) blocks — sublane rows,
-    # redundant lanes (same layout the forward writes)
+    # row vectors (lse/delta) stay COMPACT (BH, 1, tq): a 128-lane
+    # broadcast copy costs 128x HBM under (8,128) tiling (measured OOM at
+    # w8a8 batch 32); kernels pay one small relayout per block instead
     row_spec_qk = pl.BlockSpec(
-        (1, block_q, 128), lambda bh, qi, sw, ki: (bh, qi, 0),
+        (1, 1, block_q), lambda bh, qi, sw, ki: (bh, 0, qi),
         memory_space=pltpu.VMEM)
     row_spec_kq = pl.BlockSpec(
-        (1, block_q, 128), lambda bh, ki, qi: (bh, qi, 0),
+        (1, 1, block_q), lambda bh, ki, qi: (bh, 0, qi),
         memory_space=pltpu.VMEM)
 
     has_bias = bias is not None
@@ -509,12 +512,12 @@ def _flash_attention_backward(
                 (1, block_q, head_dim), lambda bh, qi, sw, ki: (bh, qi, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, block_q, 128), lambda bh, qi, sw, ki: (bh, qi, 0),
+                (1, 1, block_q), lambda bh, qi, sw, ki: (bh, 0, qi),
                 memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch * num_heads, tq, head_dim), q.dtype),
-            jax.ShapeDtypeStruct((batch * num_heads, tq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((batch * num_heads, 1, tq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, head_dim), jnp.float32),
@@ -691,15 +694,15 @@ def _bwd_blocks(block_q: int, block_k: int):
     return min(block_q, 256), min(block_k, 512)
 
 
-def _use_pallas_bwd(q_len: int, kv_len: int) -> bool:
-    """The Pallas backward wins at LONG sequences (naive recompute's
-    transient (B,H,Tq,Tk) f32 probs blow HBM and its flops scale T^2); at
-    short sequences (aligner training: Tq=Tk<=256, attention ~1% of step
-    flops) the fused XLA recompute beats the extra kernel launches."""
-    return q_len * kv_len >= (1 << 17)  # e.g. 512x256+
-
-
 def _bwd_rule(causal, sm_scale, block_q, block_k, res, g):
+    # The backward follows the FORWARD's dispatch (lse saved <=> Pallas ran):
+    # one decision governs both directions. The XLA-recompute backward's
+    # transient (B,H,Tq,Tk) f32 probs (plus the scheduler's remat copies)
+    # dominate training HBM at batched short-sequence shapes — at the
+    # aligner operating point they capped the w8a8 batch at 16 of 32
+    # (measured OOM, 17.5G of 15.75G) — while the Pallas backward keeps
+    # only (q, k, v, lse) residuals. Its per-step cost at T<=256 is within
+    # noise of the fused recompute, and at long sequences it wins outright.
     q, k, v, bias, kv_mask, lse = res
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -709,7 +712,7 @@ def _bwd_rule(causal, sm_scale, block_q, block_k, res, g):
         zero = lambda x: None if x is None else jnp.zeros_like(x)
         return zero(q), zero(k), zero(v), zero(bias), None
 
-    if lse is None or not _use_pallas_bwd(q.shape[2], k.shape[2]):
+    if lse is None:
         # short-sequence/CPU path — or bias itself needs a gradient (full-T5
         # finetuning): recompute VJP through the naive reference.
         def ref(q, k, v, bias):
