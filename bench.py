@@ -13,9 +13,13 @@ them exactly like the collator (llava_instruct_dataset_mllama_embed_2.py:
 102-131), and pads to multiple-of-32 buckets (the framework's static-shape
 equivalent of 'longest', data/collators.py bucket_length).
 
-Benched configuration: ``quantize_frozen: int8`` — weight-only int8 on the
-frozen teacher (<=0.4% relative weight error, loss-curve-verified in
-tests/test_quant.py). bf16 number additionally reported in PERF.md.
+Benched configuration: ``quantize_frozen: int8_dyn`` (w8a8) — int8 frozen
+teacher weights AND per-token dynamic int8 activations; both operands hit
+the MXU as s8 (2x bf16 peak). Weight error <=0.4% relative, activation
+quant loss-curve-verified in tests/test_quant.py. Batch 16 is the HBM
+ceiling at the 128/128 bucket (activation residuals; see PERF.md). int8 /
+bf16 numbers additionally reported in PERF.md, with an MFU ceiling
+analysis (measured ~82% of v5e bf16 peak at this operating point).
 
 Baseline estimate: the paper reports 5 h on 4x A100 for 40 epochs x 5000
 iters at batch 32/GPU (README.md:27 + train config). Interpreted per-GPU:
@@ -77,11 +81,11 @@ def main():
         vocab_size=32128, d_model=4096, d_kv=64, d_ff=10240,
         num_layers=1, num_decoder_layers=24, num_heads=64, dropout_rate=0.0,
     )
-    batch_size = 32
+    batch_size = 16
 
     model = MllamaT5EmbedDecoder(ConfigNode({
         "dtype": "bfloat16", "load_pretrained": False,
-        "quantize_frozen": "int8",
+        "quantize_frozen": "int8_dyn",
         "mm_projector_type": "mlp2x_gelu_t5_norm",
         "vlm_hidden_size": 3584, "t5_config": t5_over,
     }))

@@ -316,3 +316,36 @@ def test_default_collate_stacks_arrays():
     ])
     assert out["x"].shape == (2, 2, 3)
     assert out["n"].tolist() == [1, 2] and out["s"] == ["p", "q"]
+
+
+def test_token_budget_batching(tmp_path):
+    """token_budget: batch size floats inversely with the length bucket;
+    every emitted batch fits the padded-token budget and all window samples
+    are consumed exactly once."""
+    from thinkdiff_tpu.data.collators import bucket_length
+    from thinkdiff_tpu.data.pipeline import WebDatasetPipeline
+
+    rs = np.random.RandomState(0)
+    lens = np.clip(rs.normal(60, 25, 96).astype(int), 16, 128)
+
+    pipe = WebDatasetPipeline(
+        ["unused"], batch_size=32, token_budget=2048,
+        sample_len_fn=lambda s: s["n"], budget_len_cap=128,
+        budget_window=48, min_batch=8,
+        collator=lambda batch: batch,
+    )
+    pipe._sample_iter = lambda: iter([{"n": int(n), "i": i}
+                                      for i, n in enumerate(lens)])
+    batches = list(pipe)
+    seen = [s["i"] for b in batches for s in b]
+    assert len(seen) == len(set(seen))
+    assert len(seen) >= 96 - 8 + 1  # at most a sub-min_batch tail dropped
+    for b in batches:
+        assert 8 <= len(b) <= 32 and len(b) % 8 == 0
+        cost = bucket_length(max(s["n"] for s in b), 128)
+        assert len(b) * cost <= 2048, (len(b), cost)
+    # short samples actually batch bigger than long ones
+    sizes_by_len = [(max(s["n"] for s in b), len(b)) for b in batches]
+    short = [bs for ln, bs in sizes_by_len if ln <= 64]
+    long = [bs for ln, bs in sizes_by_len if ln > 96]
+    assert short and long and max(short) > max(long)

@@ -193,9 +193,9 @@ class TestFlashAttentionBackward:
         fa = importlib.import_module("thinkdiff_tpu.ops.flash_attention")
 
         if use_pallas:
-            # backward follows the forward's dispatch (lse residual)
-            ctx_pallas = mock.patch.object(fa, "_use_pallas",
-                                           lambda q, k: True)
+            ctx_pallas = mock.patch.multiple(
+                fa, _use_pallas=lambda q, k: True,
+                _use_pallas_bwd=lambda ql, kl: True)
         else:
             ctx_pallas = mock.patch.object(fa, "_use_pallas", lambda q, k: False)
 
@@ -253,8 +253,9 @@ class TestFlashAttentionBackward:
                                      32, 32)
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
-        with self._interp(), mock.patch.object(
-                fa, "_use_pallas", lambda q, k: True):
+        with self._interp(), mock.patch.multiple(
+                fa, _use_pallas=lambda q, k: True,
+                _use_pallas_bwd=lambda ql, kl: True):
             got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         with mock.patch.object(fa, "_use_pallas", lambda q, k: False):
             want = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import logging
 from typing import Any, Callable, Dict, Optional
 
+import numpy as np
+
 from thinkdiff_tpu.core.config import ConfigNode
 from thinkdiff_tpu.core.registry import registry
 from thinkdiff_tpu.data.collators import (
@@ -259,11 +261,34 @@ class LlavaInstructEmbedBuilder(BaseDatasetBuilder):
                 seed=seed,
             )
             resample = bool(cfg.get("resample", True))
+            # token_budget: batch size floats inversely with the length
+            # bucket (static-shape analog of the reference's
+            # padding='longest' dynamic batches) — bounds step memory by
+            # padded tokens instead of sample count
+            budget = build_info.get("token_budget", None)
+            budget_kw = {}
+            if budget:
+                max_split = int(build_info.get(
+                    "output_embed_max_split_len",
+                    self.knob("max_split_len", 128) or 128))
+                max_txt = int(self.knob("max_txt_len", 128))
+
+                def embed_len(sample):
+                    for key in sample:
+                        if "output_embed" in key or "input_embed" in key:
+                            return int(np.asarray(sample[key]).shape[0])
+                    return max(max_split, max_txt)
+
+                budget_kw = dict(
+                    token_budget=int(budget), sample_len_fn=embed_len,
+                    budget_len_cap=max(max_split, max_txt),
+                )
             pipe = WebDatasetPipeline(
                 storage, resample=resample,
                 shuffle_buffer=1000 if resample else 0,
                 batch_size=batch_size, collator=collator,
                 seed=seed + epoch, rank=rank, world_size=world_size,
+                **budget_kw,
             )
             return PrefetchLoader(pipe)
 

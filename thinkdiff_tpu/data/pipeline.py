@@ -40,6 +40,11 @@ class WebDatasetPipeline:
         rank: int = 0,
         world_size: int = 1,
         epoch_samples: Optional[int] = None,
+        token_budget: Optional[int] = None,
+        sample_len_fn: Optional[Callable[[Dict[str, Any]], int]] = None,
+        budget_len_cap: int = 128,
+        budget_window: int = 256,
+        min_batch: int = 8,
     ):
         if isinstance(urls, str):
             urls = brace_expand(urls)
@@ -54,6 +59,11 @@ class WebDatasetPipeline:
         self.rank = rank
         self.world_size = world_size
         self.epoch_samples = epoch_samples
+        self.token_budget = token_budget
+        self.sample_len_fn = sample_len_fn
+        self.budget_len_cap = budget_len_cap
+        self.budget_window = budget_window
+        self.min_batch = min_batch
 
     def _shard_iter(self, rng: random.Random) -> Iterator[str]:
         if self.resample:
@@ -102,6 +112,8 @@ class WebDatasetPipeline:
         it = self._sample_iter()
         if self.batch_size is None:
             return it
+        if self.token_budget is not None:
+            return self._budget_batch_iter(it)
         return self._batch_iter(it)
 
     def _batch_iter(self, it) -> Iterator[Any]:
@@ -110,6 +122,49 @@ class WebDatasetPipeline:
             if len(batch) < self.batch_size:
                 return
             yield self.collator(batch) if self.collator else batch
+
+    def _budget_batch_iter(self, it) -> Iterator[Any]:
+        """Token-budget batching: batch size scales inversely with the
+        length bucket so every batch carries ~token_budget padded tokens.
+
+        This is the static-shape analog of the reference's dynamic
+        ``padding='longest'`` batches (mllama_vllm_t5_embed_decoder_2.py:570
+        keeps batch fixed and lets the token count float; here the token
+        count is pinned — which is what bounds TPU step memory — and the
+        batch floats in multiples of 8). Short-sample batches grow up to
+        ``batch_size``, long ones shrink to ``min_batch``; a window of
+        ``budget_window`` samples is length-sorted before cutting so
+        same-bucket samples batch together, then batch order is shuffled to
+        avoid a length curriculum."""
+        from thinkdiff_tpu.data.collators import bucket_length
+
+        assert self.sample_len_fn is not None, \
+            "token_budget requires sample_len_fn"
+        rng = random.Random(self.seed + self.rank + 1)
+        max_batch = self.batch_size or 32
+        while True:
+            window = list(itertools.islice(it, self.budget_window))
+            if len(window) < self.min_batch:
+                return
+            window.sort(key=self.sample_len_fn)
+            batches = []
+            i = 0
+            while i + self.min_batch <= len(window):
+                bs = self.min_batch
+                for cand in range(max_batch, self.min_batch - 1, -8):
+                    if i + cand > len(window):
+                        continue
+                    cost = bucket_length(
+                        self.sample_len_fn(window[i + cand - 1]),
+                        self.budget_len_cap)
+                    if cand * cost <= self.token_budget:
+                        bs = cand
+                        break
+                batches.append(window[i:i + bs])
+                i += bs
+            rng.shuffle(batches)
+            for batch in batches:
+                yield self.collator(batch) if self.collator else batch
 
 
 class MapDatasetLoader:

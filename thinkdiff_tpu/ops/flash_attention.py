@@ -694,15 +694,20 @@ def _bwd_blocks(block_q: int, block_k: int):
     return min(block_q, 256), min(block_k, 512)
 
 
+def _use_pallas_bwd(q_len: int, kv_len: int) -> bool:
+    """The Pallas backward wins at LONG sequences (naive recompute's
+    transient (B,H,Tq,Tk) f32 probs blow HBM and its flops scale T^2); at
+    short sequences (aligner training: Tq=Tk<=128, attention ~1% of step
+    flops) the fused XLA recompute is measurably faster — switching the
+    backward to Pallas at the aligner operating point cost 21% end-to-end
+    (84.7 -> 66.6 samples/s, w8a8 batch 16). The recompute's transient
+    probs are schedulable (unlike the forward's former fat lse buffers,
+    which accumulated across all 48 attention ops — see the compact-lse
+    note in _fwd_kernel)."""
+    return q_len * kv_len >= (1 << 17)  # e.g. 512x256+
+
+
 def _bwd_rule(causal, sm_scale, block_q, block_k, res, g):
-    # The backward follows the FORWARD's dispatch (lse saved <=> Pallas ran):
-    # one decision governs both directions. The XLA-recompute backward's
-    # transient (B,H,Tq,Tk) f32 probs (plus the scheduler's remat copies)
-    # dominate training HBM at batched short-sequence shapes — at the
-    # aligner operating point they capped the w8a8 batch at 16 of 32
-    # (measured OOM, 17.5G of 15.75G) — while the Pallas backward keeps
-    # only (q, k, v, lse) residuals. Its per-step cost at T<=256 is within
-    # noise of the fused recompute, and at long sequences it wins outright.
     q, k, v, bias, kv_mask, lse = res
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -712,7 +717,7 @@ def _bwd_rule(causal, sm_scale, block_q, block_k, res, g):
         zero = lambda x: None if x is None else jnp.zeros_like(x)
         return zero(q), zero(k), zero(v), zero(bias), None
 
-    if lse is None:
+    if lse is None or not _use_pallas_bwd(q.shape[2], k.shape[2]):
         # short-sequence/CPU path — or bias itself needs a gradient (full-T5
         # finetuning): recompute VJP through the naive reference.
         def ref(q, k, v, bias):
