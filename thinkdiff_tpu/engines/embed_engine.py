@@ -190,7 +190,11 @@ class EmbedEngine:
         dtype = str_to_dtype(model_cfg.get("dtype", "bfloat16"))
         vcfg_early = model_cfg.get("vllm_config", {}) or {}
         # quantization: int8 (weight-only, Pallas decode gemv) | int8_dyn
-        # (w8a8 — s8xs8 XLA dots, halved decode weight reads, no launches)
+        # (w8a8 s8xs8 dots). CAPACITY options (e.g. 7B on one 16 GB chip):
+        # both measured SLOWER than bf16 for thin decode matvecs (w8a8
+        # 3.3x, gemv launch-bound — PERF.md "engine decode quantization");
+        # wide ops (vision, prefill) gain ~1.37x. bf16 is the serving
+        # default until fused qkv/gate-up int8 kernels land.
         qname = str(vcfg_early.get("quantization", "")).lower()
         quant = {"int8": True, "int8_dyn": "w8a8", "w8a8": "w8a8"}.get(
             qname, False)
