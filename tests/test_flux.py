@@ -11,9 +11,12 @@ from thinkdiff_tpu.engines.flux_sampler import (
     FluxSampler, calculate_shift, flux_sigmas,
 )
 from thinkdiff_tpu.models.flux import (
-    FluxConfig, FluxTransformer, make_img_ids, pack_latents, unpack_latents,
+    FluxConfig, FluxTransformer, convert_flux, make_img_ids, pack_latents,
+    unpack_latents,
 )
-from thinkdiff_tpu.models.flux_vae import VAEConfig, VAEDecoder
+from thinkdiff_tpu.models.flux_vae import (
+    VAEConfig, VAEDecoder, convert_vae_decoder,
+)
 
 
 @pytest.fixture(scope="module")
@@ -148,3 +151,371 @@ def test_clip_text_parity_vs_hf():
     np.testing.assert_allclose(
         np.asarray(pooled), ref.pooler_output.numpy(), atol=2e-4, rtol=1e-3
     )
+
+
+# --------- torch reference for the full MMDiT (no diffusers) ---------------
+# An independent torch implementation of the published FLUX semantics
+# (AdaLayerNormZero shift/scale/gate chunks, RMS qk-norm eps 1e-6,
+# text-first joint sequence, 3-axis interleaved rope, single-block
+# cat([attn, mlp]) projection, scale-first AdaLayerNormContinuous head)
+# with diffusers state_dict key names, validating convert_flux end to end.
+
+
+def _build_torch_flux(cfg, seed=0):
+    import math as _math
+
+    import torch
+    from torch import nn as tnn
+    import torch.nn.functional as F
+
+    d, hd, heads = cfg.hidden_size, cfg.head_dim, cfg.num_heads
+    mlp = int(cfg.hidden_size * cfg.mlp_ratio)
+    torch.manual_seed(seed)
+
+    class RMS(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.weight = tnn.Parameter(torch.rand(hd) * 0.5 + 0.75)
+
+        def forward(self, x):
+            var = x.float().pow(2).mean(-1, keepdim=True)
+            return (x.float() * torch.rsqrt(var + 1e-6)
+                    ).to(x.dtype) * self.weight
+
+    class MLPEmb(tnn.Module):
+        def __init__(self, in_dim):
+            super().__init__()
+            self.linear_1 = tnn.Linear(in_dim, d)
+            self.linear_2 = tnn.Linear(d, d)
+
+        def forward(self, x):
+            return self.linear_2(F.silu(self.linear_1(x)))
+
+    def sincos(t, dim=256):
+        half = dim // 2
+        freqs = torch.exp(
+            -_math.log(10000.0) * torch.arange(half).float() / half)
+        ang = t.float()[:, None] * freqs[None]
+        return torch.cat([torch.cos(ang), torch.sin(ang)], dim=-1)
+
+    class GELUProj(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = tnn.Linear(d, mlp)
+
+        def forward(self, x):
+            return F.gelu(self.proj(x), approximate="tanh")
+
+    class FF(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = tnn.ModuleList(
+                [GELUProj(), tnn.Identity(), tnn.Linear(mlp, d)])
+
+        def forward(self, x):
+            return self.net[2](self.net[0](x))
+
+    class JointAttn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                      "add_v_proj", "to_add_out"):
+                setattr(self, n, tnn.Linear(d, d))
+            self.to_out = tnn.ModuleList([tnn.Linear(d, d)])
+            self.norm_q, self.norm_k = RMS(), RMS()
+            self.norm_added_q, self.norm_added_k = RMS(), RMS()
+
+        def forward(self, img, txt, cos, sin):
+            b = img.shape[0]
+
+            def h(t):
+                return t.reshape(b, -1, heads, hd).permute(0, 2, 1, 3)
+
+            iq, ik, iv = h(self.to_q(img)), h(self.to_k(img)), h(self.to_v(img))
+            tq, tk, tv = (h(self.add_q_proj(txt)), h(self.add_k_proj(txt)),
+                          h(self.add_v_proj(txt)))
+            iq, ik = self.norm_q(iq), self.norm_k(ik)
+            tq, tk = self.norm_added_q(tq), self.norm_added_k(tk)
+            q = torch.cat([tq, iq], dim=2)
+            k = torch.cat([tk, ik], dim=2)
+            v = torch.cat([tv, iv], dim=2)
+
+            def rope(t):
+                tr = torch.stack([-t[..., 1::2], t[..., 0::2]],
+                                 dim=-1).flatten(-2)
+                return (t.float() * cos + tr.float() * sin).to(t.dtype)
+
+            q, k = rope(q), rope(k)
+            o = F.scaled_dot_product_attention(q, k, v)
+            o = o.permute(0, 2, 1, 3).reshape(b, -1, d)
+            st = txt.shape[1]
+            return self.to_out[0](o[:, st:]), self.to_add_out(o[:, :st])
+
+    class AdaLNZero(tnn.Module):
+        def __init__(self, n_chunks=6):
+            super().__init__()
+            self.linear = tnn.Linear(d, n_chunks * d)
+
+    class DoubleBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1, self.norm1_context = AdaLNZero(), AdaLNZero()
+            self.attn = JointAttn()
+            self.ff, self.ff_context = FF(), FF()
+
+        def forward(self, img, txt, temb, cos, sin):
+            ln = lambda x: F.layer_norm(x, (d,), eps=1e-6)
+            m = lambda x, sh, sc: x * (1 + sc[:, None]) + sh[:, None]
+            ish1, isc1, ig1, ish2, isc2, ig2 = self.norm1.linear(
+                F.silu(temb)).chunk(6, dim=1)
+            tsh1, tsc1, tg1, tsh2, tsc2, tg2 = self.norm1_context.linear(
+                F.silu(temb)).chunk(6, dim=1)
+            ia, ta = self.attn(m(ln(img), ish1, isc1),
+                               m(ln(txt), tsh1, tsc1), cos, sin)
+            img = img + ig1[:, None] * ia
+            txt = txt + tg1[:, None] * ta
+            img = img + ig2[:, None] * self.ff(m(ln(img), ish2, isc2))
+            txt = txt + tg2[:, None] * self.ff_context(m(ln(txt), tsh2, tsc2))
+            return img, txt
+
+    class SingleAttn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.to_q, self.to_k, self.to_v = (tnn.Linear(d, d)
+                                               for _ in range(3))
+            self.norm_q, self.norm_k = RMS(), RMS()
+
+    class SingleBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm = AdaLNZero(3)
+            self.attn = SingleAttn()
+            self.proj_mlp = tnn.Linear(d, mlp)
+            self.proj_out = tnn.Linear(d + mlp, d)
+
+        def forward(self, x, temb, cos, sin):
+            b = x.shape[0]
+            sh, sc, g = self.norm.linear(F.silu(temb)).chunk(3, dim=1)
+            xn = F.layer_norm(x, (d,), eps=1e-6) * (1 + sc[:, None]) + sh[:, None]
+
+            def h(t):
+                return t.reshape(b, -1, heads, hd).permute(0, 2, 1, 3)
+
+            q = self.attn.norm_q(h(self.attn.to_q(xn)))
+            k = self.attn.norm_k(h(self.attn.to_k(xn)))
+            v = h(self.attn.to_v(xn))
+
+            def rope(t):
+                tr = torch.stack([-t[..., 1::2], t[..., 0::2]],
+                                 dim=-1).flatten(-2)
+                return (t.float() * cos + tr.float() * sin).to(t.dtype)
+
+            o = torch.nn.functional.scaled_dot_product_attention(
+                rope(q), rope(k), v)
+            o = o.permute(0, 2, 1, 3).reshape(b, -1, d)
+            mlp_h = F.gelu(self.proj_mlp(xn), approximate="tanh")
+            return x + g[:, None] * self.proj_out(torch.cat([o, mlp_h], -1))
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.x_embedder = tnn.Linear(cfg.in_channels, d)
+            self.context_embedder = tnn.Linear(cfg.joint_attention_dim, d)
+            tte = tnn.Module()
+            tte.timestep_embedder = MLPEmb(256)
+            tte.guidance_embedder = MLPEmb(256)
+            tte.text_embedder = MLPEmb(cfg.pooled_projection_dim)
+            self.time_text_embed = tte
+            self.transformer_blocks = tnn.ModuleList(
+                [DoubleBlock() for _ in range(cfg.num_double_layers)])
+            self.single_transformer_blocks = tnn.ModuleList(
+                [SingleBlock() for _ in range(cfg.num_single_layers)])
+            self.norm_out = tnn.Module()
+            self.norm_out.linear = tnn.Linear(d, 2 * d)
+            self.proj_out = tnn.Linear(d, cfg.in_channels)
+
+        def forward(self, img, txt, pooled, timestep, img_ids, txt_ids,
+                    guidance):
+            tte = self.time_text_embed
+            temb = (tte.timestep_embedder(sincos(timestep * 1000.0))
+                    + tte.guidance_embedder(sincos(guidance * 1000.0))
+                    + tte.text_embedder(pooled))
+            img = self.x_embedder(img)
+            txt = self.context_embedder(txt)
+
+            # 3-axis rope tables built independently (FluxPosEmbed
+            # semantics: per-axis 1d freqs, cos/sin repeat_interleave(2))
+            ids = torch.cat([txt_ids, img_ids], dim=0)
+            cos_p, sin_p = [], []
+            for ax, dim in enumerate(cfg.axes_dims_rope):
+                freqs = 1.0 / (cfg.rope_theta ** (
+                    torch.arange(0, dim, 2).double() / dim))
+                ang = ids[:, ax].double()[:, None] * freqs[None]
+                cos_p.append(ang.cos().repeat_interleave(2, dim=-1))
+                sin_p.append(ang.sin().repeat_interleave(2, dim=-1))
+            cos = torch.cat(cos_p, -1).float()[None, None]
+            sin = torch.cat(sin_p, -1).float()[None, None]
+
+            for blk in self.transformer_blocks:
+                img, txt = blk(img, txt, temb, cos, sin)
+            x = torch.cat([txt, img], dim=1)
+            for blk in self.single_transformer_blocks:
+                x = blk(x, temb, cos, sin)
+            img = x[:, txt.shape[1]:]
+            sc, sh = self.norm_out.linear(
+                torch.nn.functional.silu(temb)).chunk(2, dim=1)
+            img = torch.nn.functional.layer_norm(
+                img, (d,), eps=1e-6) * (1 + sc[:, None]) + sh[:, None]
+            return self.proj_out(img)
+
+    return Model()
+
+
+def test_transformer_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    cfg = FluxConfig.tiny()
+    ref = _build_torch_flux(cfg)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_flux(sd)
+    model = FluxTransformer(cfg)
+
+    rs = np.random.RandomState(0)
+    s_img, s_txt = 16, 5
+    img = rs.randn(2, s_img, cfg.in_channels).astype(np.float32)
+    txt = rs.randn(2, s_txt, cfg.joint_attention_dim).astype(np.float32)
+    pooled = rs.randn(2, cfg.pooled_projection_dim).astype(np.float32)
+    ts = np.asarray([0.3, 0.9], np.float32)
+    gd = np.asarray([3.5, 1.0], np.float32)
+    img_ids = np.asarray(make_img_ids(8, 8), np.float32)
+    txt_ids = np.zeros((s_txt, 3), np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.tensor(img), torch.tensor(txt),
+                   torch.tensor(pooled), torch.tensor(ts),
+                   torch.tensor(img_ids), torch.tensor(txt_ids),
+                   torch.tensor(gd)).numpy()
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(txt),
+        jnp.asarray(pooled), jnp.asarray(ts), jnp.asarray(img_ids),
+        jnp.asarray(txt_ids), jnp.asarray(gd)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def _build_torch_vae_decoder(cfg, seed=0):
+    """Independent torch implementation of the diffusers AutoencoderKL
+    decoder semantics (resnets + single-head attention mid block, nearest
+    upsample + conv, silu, GroupNorm eps 1e-6), diffusers key names."""
+    import torch
+    from torch import nn as tnn
+    import torch.nn.functional as F
+
+    chs = list(cfg.block_out_channels)
+    g = cfg.norm_num_groups
+    torch.manual_seed(seed)
+
+    class Res(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.norm1 = tnn.GroupNorm(g, cin, eps=1e-6)
+            self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+            self.norm2 = tnn.GroupNorm(g, cout, eps=1e-6)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+            if cin != cout:
+                self.conv_shortcut = tnn.Conv2d(cin, cout, 1)
+
+        def forward(self, x):
+            h = self.conv1(F.silu(self.norm1(x)))
+            h = self.conv2(F.silu(self.norm2(h)))
+            if hasattr(self, "conv_shortcut"):
+                x = self.conv_shortcut(x)
+            return x + h
+
+    class Attn(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.group_norm = tnn.GroupNorm(g, c, eps=1e-6)
+            self.to_q = tnn.Linear(c, c)
+            self.to_k = tnn.Linear(c, c)
+            self.to_v = tnn.Linear(c, c)
+            self.to_out = tnn.ModuleList([tnn.Linear(c, c)])
+
+        def forward(self, x):
+            b, c, hh, ww = x.shape
+            h = self.group_norm(x).flatten(2).transpose(1, 2)  # (b, hw, c)
+            q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+            a = torch.softmax(
+                q.float() @ k.float().transpose(1, 2) / c ** 0.5, dim=-1)
+            h = self.to_out[0]((a @ v.float()).to(x.dtype))
+            return x + h.transpose(1, 2).reshape(b, c, hh, ww)
+
+    class Up(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = tnn.Conv2d(c, c, 3, padding=1)
+
+        def forward(self, x):
+            return self.conv(F.interpolate(x, scale_factor=2, mode="nearest"))
+
+    class Decoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = tnn.Conv2d(cfg.latent_channels, chs[-1], 3,
+                                      padding=1)
+            mid = tnn.Module()
+            mid.resnets = tnn.ModuleList([Res(chs[-1], chs[-1]),
+                                          Res(chs[-1], chs[-1])])
+            mid.attentions = tnn.ModuleList([Attn(chs[-1])])
+            self.mid_block = mid
+            self.up_blocks = tnn.ModuleList()
+            cin = chs[-1]
+            for bi, ch in enumerate(reversed(chs)):
+                ub = tnn.Module()
+                ub.resnets = tnn.ModuleList()
+                for li in range(cfg.layers_per_block + 1):
+                    ub.resnets.append(Res(cin if li == 0 else ch, ch))
+                if bi < len(chs) - 1:
+                    ub.upsamplers = tnn.ModuleList([Up(ch)])
+                self.up_blocks.append(ub)
+                cin = ch
+            self.conv_norm_out = tnn.GroupNorm(g, chs[0], eps=1e-6)
+            self.conv_out = tnn.Conv2d(chs[0], 3, 3, padding=1)
+
+        def forward(self, z):
+            x = self.conv_in(z)
+            x = self.mid_block.resnets[0](x)
+            x = self.mid_block.attentions[0](x)
+            x = self.mid_block.resnets[1](x)
+            for ub in self.up_blocks:
+                for r in ub.resnets:
+                    x = r(x)
+                if hasattr(ub, "upsamplers"):
+                    x = ub.upsamplers[0](x)
+            return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+    class Wrapper(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.decoder = Decoder()
+
+    return Wrapper()
+
+
+def test_vae_decoder_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    cfg = VAEConfig.tiny()
+    ref = _build_torch_vae_decoder(cfg)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_vae_decoder(sd)
+    model = VAEDecoder(cfg)
+
+    rs = np.random.RandomState(0)
+    z = rs.randn(2, 6, 6, cfg.latent_channels).astype(np.float32)
+    with torch.no_grad():
+        want = ref.decoder(
+            torch.tensor(z).permute(0, 3, 1, 2)
+        ).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(z)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
