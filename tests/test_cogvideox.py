@@ -332,3 +332,161 @@ def test_spatial_norm_groupnorm_matches_torch():
     p["conv_b"]["conv"]["bias"] = np.zeros_like(p["conv_b"]["conv"]["bias"])
     out = np.asarray(mod.apply({"params": p}, jnp.asarray(f), jnp.asarray(zq)))
     np.testing.assert_allclose(out, ref_norm, atol=1e-4, rtol=1e-3)
+
+
+# --------- torch reference for the FULL 3D causal VAE decoder --------------
+
+
+def _build_torch_cogvideox_vae(cfg, seed=0):
+    """Independent torch implementation of the published AutoencoderKL-
+    CogVideoX decoder semantics (causal conv3d first-frame padding,
+    SpatialNorm3D odd-frame split interpolation, compress_time upsampling,
+    per-frame 2D upsample convs), with diffusers state_dict key names."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn as tnn
+
+    g = cfg.norm_num_groups
+    zc = cfg.latent_channels
+    torch.manual_seed(seed)
+
+    class Causal(tnn.Module):
+        def __init__(self, cin, cout, k=3):
+            super().__init__()
+            self.conv = tnn.Conv3d(cin, cout, k)
+
+        def forward(self, x):
+            kt, kh, kw = self.conv.kernel_size
+            if kt > 1:
+                x = torch.cat([x[:, :, :1]] * (kt - 1) + [x], dim=2)
+            x = F.pad(x, (kw // 2, kw // 2, kh // 2, kh // 2, 0, 0))
+            return self.conv(x)
+
+    class SpatialNorm(tnn.Module):
+        def __init__(self, f_ch):
+            super().__init__()
+            self.norm_layer = tnn.GroupNorm(g, f_ch, eps=1e-6)
+            self.conv_y = Causal(zc, f_ch, 1)
+            self.conv_b = Causal(zc, f_ch, 1)
+
+        def forward(self, f, zq):
+            if f.shape[2] > 1 and f.shape[2] % 2 == 1:
+                zf = F.interpolate(zq[:, :, :1],
+                                   size=(1, f.shape[3], f.shape[4]))
+                zr = F.interpolate(zq[:, :, 1:],
+                                   size=(f.shape[2] - 1, f.shape[3],
+                                         f.shape[4]))
+                zq = torch.cat([zf, zr], dim=2)
+            else:
+                zq = F.interpolate(zq, size=f.shape[-3:])
+            return self.norm_layer(f) * self.conv_y(zq) + self.conv_b(zq)
+
+    class Res(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.norm1 = SpatialNorm(cin)
+            self.conv1 = Causal(cin, cout, 3)
+            self.norm2 = SpatialNorm(cout)
+            self.conv2 = Causal(cout, cout, 3)
+            if cin != cout:
+                self.conv_shortcut = Causal(cin, cout, 1)
+
+        def forward(self, x, zq):
+            h = self.conv1(F.silu(self.norm1(x, zq)))
+            h = self.conv2(F.silu(self.norm2(h, zq)))
+            if hasattr(self, "conv_shortcut"):
+                x = self.conv_shortcut(x)
+            return x + h
+
+    class Up(tnn.Module):
+        def __init__(self, ch, compress_time):
+            super().__init__()
+            self.conv = tnn.Conv2d(ch, ch, 3, padding=1)
+            self.compress_time = compress_time
+
+        def forward(self, x):
+            if self.compress_time and x.shape[2] > 1 and x.shape[2] % 2 == 1:
+                xf = F.interpolate(x[:, :, 0], scale_factor=2.0)
+                xr = F.interpolate(x[:, :, 1:], scale_factor=2.0)
+                x = torch.cat([xf[:, :, None], xr], dim=2)
+            elif self.compress_time:
+                x = F.interpolate(x, scale_factor=2.0)
+            else:
+                b, c, t, h, w = x.shape
+                x = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+                x = F.interpolate(x, scale_factor=2.0)
+                x = x.reshape(b, t, c, x.shape[-2], x.shape[-1]
+                              ).permute(0, 2, 1, 3, 4)
+            b, c, t, h, w = x.shape
+            y = self.conv(x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w))
+            return y.reshape(b, t, c, h, w).permute(0, 2, 1, 3, 4)
+
+    chans = list(reversed(cfg.block_out_channels))
+    tlevels = int(np.log2(cfg.temporal_compression_ratio))
+
+    class Decoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = Causal(zc, chans[0], 3)
+            mid = tnn.Module()
+            mid.resnets = tnn.ModuleList(
+                [Res(chans[0], chans[0]) for _ in range(2)])
+            self.mid_block = mid
+            self.up_blocks = tnn.ModuleList()
+            cin = chans[0]
+            for bi, ch in enumerate(chans):
+                ub = tnn.Module()
+                ub.resnets = tnn.ModuleList()
+                for ri in range(cfg.layers_per_block + 1):
+                    ub.resnets.append(Res(cin if ri == 0 else ch, ch))
+                if bi < len(chans) - 1:
+                    ub.upsamplers = tnn.ModuleList(
+                        [Up(ch, compress_time=bi < tlevels)])
+                self.up_blocks.append(ub)
+                cin = ch
+            self.norm_out = SpatialNorm(chans[-1])
+            self.conv_out = Causal(chans[-1], cfg.out_channels, 3)
+
+        def forward(self, z):
+            zq = z
+            h = self.conv_in(z)
+            for r in self.mid_block.resnets:
+                h = r(h, zq)
+            for ub in self.up_blocks:
+                for r in ub.resnets:
+                    h = r(h, zq)
+                if hasattr(ub, "upsamplers"):
+                    h = ub.upsamplers[0](h)
+            h = F.silu(self.norm_out(h, zq))
+            return self.conv_out(h)
+
+    class Wrapper(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.decoder = Decoder()
+
+    return Wrapper()
+
+
+def test_vae_decoder_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    from thinkdiff_tpu.models.cogvideox_vae import (
+        CogVideoXVAEConfig, CogVideoXVAEDecoder, convert_cogvideox_vae,
+    )
+
+    cfg = CogVideoXVAEConfig.tiny()
+    ref = _build_torch_cogvideox_vae(cfg)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_cogvideox_vae(sd)
+    model = CogVideoXVAEDecoder(cfg)
+
+    rs = np.random.RandomState(0)
+    z = rs.randn(1, 3, 4, 4, cfg.latent_channels).astype(np.float32)
+    with torch.no_grad():
+        want = ref.decoder(
+            torch.tensor(z).permute(0, 4, 1, 2, 3)
+        ).permute(0, 2, 3, 4, 1).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(z)))
+    assert got.shape == want.shape  # (1, 5, 8, 8, 3): 2x time (first kept)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
