@@ -172,7 +172,8 @@ def test_lvlm_w8a8_loss_and_grads_close_to_fp():
     m_fp = MllamaT5EmbedDecoder(cfg_fp, seed=0)
     m_q = MllamaT5EmbedDecoder(cfg_q, seed=0)
     m_q.frozen = {"t5": quantize_tree(
-        jax.tree.map(np.asarray, m_fp.frozen["t5"]), min_size=0)}
+        jax.tree.map(np.asarray, m_fp.frozen["t5"]), min_size=0,
+        w8a8=True)}
     m_q.trainable = m_fp.trainable
     rs = np.random.RandomState(1)
     batch = {
@@ -213,7 +214,7 @@ def test_qwen2_decoder_w8a8_close_to_fp():
 
     model_q = Qwen2VLModel(dataclasses.replace(cfg_fp, quant_int8="w8a8"))
     logits_q, hidden_q, _ = model_q.apply(
-        {"params": quantize_tree(params, min_size=0)},
+        {"params": quantize_tree(params, min_size=0, w8a8=True)},
         input_ids=ids, position_ids=pos)
     rel = (np.abs(np.asarray(hidden_q) - np.asarray(hidden_fp)).max()
            / (np.abs(np.asarray(hidden_fp)).max() + 1e-9))
@@ -221,3 +222,95 @@ def test_qwen2_decoder_w8a8_close_to_fp():
     agree = (np.asarray(logits_q).argmax(-1)
              == np.asarray(logits_fp).argmax(-1)).mean()
     assert agree > 0.8
+
+
+def test_w8a8_equalization_recovers_outlier_channels():
+    """SmoothQuant-style channel equalization: with planted per-channel
+    activation outliers (the real flan-t5 failure mode), per-token absmax
+    w8a8 loses most of the non-outlier channels' signal; migrating the
+    channel scales into the frozen weights recovers it."""
+    from thinkdiff_tpu.models.t5 import QDense
+    from thinkdiff_tpu.ops.quant import (
+        collect_act_stats, equalize_quantized_tree, quantize_tree,
+    )
+
+    rs = np.random.RandomState(0)
+    w = rs.randn(64, 32).astype(np.float32) * 0.05
+    x = rs.randn(128, 64).astype(np.float32)
+    x[:, :4] *= 150.0  # outlier channels dominate every row's absmax
+
+    ref = x @ w
+    module = QDense(features=32, dtype=jnp.float32, quant="w8a8")
+    params = quantize_tree({"kernel": w}, min_size=0, w8a8=True)
+    assert "input_scale" in params
+
+    plain = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+
+    stats = collect_act_stats(module, {"params": params}, jnp.asarray(x))
+    assert stats["amax"].shape == (64,)
+    eq = equalize_quantized_tree(params, stats)
+    # product is mathematically unchanged; only quantization error differs
+    better = np.asarray(module.apply({"params": eq}, jnp.asarray(x)))
+
+    def rel(a):
+        return np.abs(a - ref).max() / np.abs(ref).max()
+
+    assert rel(better) < 0.6 * rel(plain), (rel(plain), rel(better))
+    assert rel(better) < 0.012
+    # second calibration pass composes (folds into input_scale, stays sane)
+    stats2 = collect_act_stats(module, {"params": eq}, jnp.asarray(x))
+    eq2 = equalize_quantized_tree(eq, stats2)
+    again = np.asarray(module.apply({"params": eq2}, jnp.asarray(x)))
+    assert rel(again) <= rel(better) * 1.5
+
+
+def test_collect_act_stats_folds_max_across_batches():
+    from thinkdiff_tpu.models.t5 import QDense
+    from thinkdiff_tpu.ops.quant import collect_act_stats, quantize_tree
+
+    rs = np.random.RandomState(1)
+    w = rs.randn(16, 8).astype(np.float32)
+    module = QDense(features=8, dtype=jnp.float32, quant="w8a8")
+    params = quantize_tree({"kernel": w}, min_size=0, w8a8=True)
+    x1 = np.ones((4, 16), np.float32)
+    x2 = np.ones((4, 16), np.float32)
+    x2[:, 3] = 9.0
+    stats = collect_act_stats(module, {"params": params}, jnp.asarray(x1))
+    stats = collect_act_stats(module, {"params": params}, jnp.asarray(x2),
+                              stats=stats)
+    amax = np.asarray(stats["amax"])
+    assert amax[3] == 9.0 and np.allclose(np.delete(amax, 3), 1.0)
+
+
+def test_aligner_calibrate_w8a8_end_to_end():
+    """calibrate_w8a8 runs through the real decode path and moves the w8a8
+    loss toward the fp loss when the embeds carry channel outliers."""
+    cfg_fp = ConfigNode({"dtype": "float32", "load_pretrained": False,
+                         "vlm_hidden_size": 24, "t5_config": TINY_T5})
+    cfg_q = ConfigNode({"dtype": "float32", "load_pretrained": False,
+                        "vlm_hidden_size": 24, "t5_config": TINY_T5,
+                        "quantize_frozen": "int8_dyn"})
+    m_fp = MllamaT5EmbedDecoder(cfg_fp, seed=0)
+    m_q = MllamaT5EmbedDecoder(cfg_q, seed=0)
+    m_q.frozen = {"t5": quantize_tree(
+        jax.tree.map(np.asarray, m_fp.frozen["t5"]), min_size=0, w8a8=True)}
+    m_q.trainable = m_fp.trainable
+
+    rs = np.random.RandomState(3)
+    embeds = rs.randn(2, 7, 24).astype(np.float32)
+    embeds[..., :2] *= 80.0  # planted channel outliers
+    batch = {
+        "embeds": jnp.asarray(embeds),
+        "embed_mask": jnp.ones((2, 7), jnp.int32),
+        "labels": jnp.asarray(rs.randint(1, TINY_T5["vocab_size"], (2, 5))),
+    }
+    loss_fp = float(m_fp.loss_fn(m_fp.trainable, m_fp.frozen, batch))
+    loss_before = float(m_q.loss_fn(m_q.trainable, m_q.frozen, batch))
+    m_q.calibrate_w8a8([batch])
+    # input_scale actually set (not identity) somewhere in the tree
+    scales = [np.asarray(v) for p, v in
+              jax.tree_util.tree_flatten_with_path(m_q.frozen)[0]
+              if "input_scale" in str(p)]
+    assert scales and any(not np.allclose(s, 1.0) for s in scales)
+    loss_after = float(m_q.loss_fn(m_q.trainable, m_q.frozen, batch))
+    assert abs(loss_after - loss_fp) <= abs(loss_before - loss_fp) + 1e-4

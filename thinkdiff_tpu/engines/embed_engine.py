@@ -214,7 +214,8 @@ class EmbedEngine:
             from thinkdiff_tpu.ops.quant import quantize_tree
 
             # decoder/lm_head only; the vision tower stays bf16
-            params["lm"] = quantize_tree(params["lm"], min_size=0)
+            params["lm"] = quantize_tree(params["lm"], min_size=0,
+                                         w8a8=quant == "w8a8")
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(path, local_files_only=True)

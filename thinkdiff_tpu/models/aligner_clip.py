@@ -100,7 +100,9 @@ class BlipVisionT5Decoder(BaseModel):
             from thinkdiff_tpu.ops.quant import quantize_leaves_on_device
 
             shapes = jax.eval_shape(_init_fp)
-            t5_vars = quantize_leaves_on_device(shapes, seed)
+            t5_vars = quantize_leaves_on_device(
+                shapes, seed,
+                w8a8=cfg.get("quantize_frozen") == "int8_dyn")
         else:
             t5_vars = _init_fp()
 
@@ -122,7 +124,9 @@ class BlipVisionT5Decoder(BaseModel):
         if self.quantize_frozen:
             from thinkdiff_tpu.ops.quant import quantize_tree
 
-            t5_params = quantize_tree(t5_params, min_size=0)
+            t5_params = quantize_tree(
+                t5_params, min_size=0,
+                w8a8=cfg.get("quantize_frozen") == "int8_dyn")
         self.frozen = {"vision": vis_vars["params"], "t5": t5_params}
 
         vis_dim = self.vit_cfg.hidden_size

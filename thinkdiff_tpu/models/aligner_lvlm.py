@@ -21,6 +21,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from thinkdiff_tpu.core.config import ConfigNode
 from thinkdiff_tpu.core.registry import registry
@@ -121,7 +122,9 @@ class MllamaT5EmbedDecoder(BaseModel):
             from thinkdiff_tpu.ops.quant import quantize_leaves_on_device
 
             shapes = jax.eval_shape(_init_fp)
-            t5_vars = quantize_leaves_on_device(shapes, seed)
+            t5_vars = quantize_leaves_on_device(
+                shapes, seed,
+                w8a8=cfg.get("quantize_frozen") == "int8_dyn")
         else:
             t5_vars = _init_fp()
         t5_path = cfg.get("text_pretrained_model_name_or_path", "google/flan-t5-xxl")
@@ -139,7 +142,9 @@ class MllamaT5EmbedDecoder(BaseModel):
         if self.quantize_frozen:
             from thinkdiff_tpu.ops.quant import quantize_tree
 
-            t5_params = quantize_tree(t5_params, min_size=0)
+            t5_params = quantize_tree(
+                t5_params, min_size=0,
+                w8a8=cfg.get("quantize_frozen") == "int8_dyn")
         self.frozen = {"t5": t5_params}
 
         proj_vars = self.projector.init(
@@ -187,6 +192,32 @@ class MllamaT5EmbedDecoder(BaseModel):
             cross_mask=batch.get("embed_mask"),
         )
         return cross_entropy_loss(logits, labels)
+
+    def calibrate_w8a8(self, batches, alpha: float = 0.5) -> None:
+        """SmoothQuant-style channel equalization of the frozen w8a8 tower
+        from a few training batches: collect per-channel activation maxima
+        through the REAL decode path, then migrate the outlier scales into
+        the quantized weights (ops/quant.equalize_quantized_tree). Run once
+        after loading real flan-t5 weights; composes if repeated."""
+        from thinkdiff_tpu.ops.quant import (
+            collect_act_stats, equalize_quantized_tree,
+        )
+
+        assert self.quantize_frozen, "calibrate_w8a8 needs quantize_frozen"
+        stats = None
+        for batch in batches:
+            proj = self.project(self.trainable, jnp.asarray(batch["embeds"]))
+            stats = collect_act_stats(
+                self.t5, {"params": self.frozen["t5"]},
+                method=self.t5.decode_with_encoder_states,
+                decoder_input_ids=shift_right(jnp.asarray(batch["labels"])),
+                encoder_states=proj,
+                cross_mask=batch.get("embed_mask"),
+                stats=stats,
+            )
+        self.frozen = {"t5": equalize_quantized_tree(
+            jax.tree.map(np.asarray, self.frozen["t5"]),
+            jax.tree.map(np.asarray, stats), alpha)}
 
     def generate(self, embeds, embed_mask=None, max_new_tokens: int = 32):
         """Greedy T5 decode conditioned on projected embeds (reference

@@ -150,7 +150,27 @@ class QDense(nn.Module):
                 # works around simply doesn't exist here
                 from thinkdiff_tpu.ops.quant import int8_dynamic_matmul
 
-                y = int8_dynamic_matmul(x.astype(self.dtype), q, scale)
+                # SmoothQuant-style channel equalization: activations are
+                # divided by per-channel scales whose inverse lives in the
+                # (re)quantized weights (ops/quant.equalize_quantized_tree)
+                # — per-token absmax quant alone crushes non-outlier
+                # channels on real T5 activations. Identity (ones) until a
+                # calibration pass sets it.
+                inv_s = 1.0 / self.param(
+                    "input_scale", nn.initializers.ones, (in_dim,),
+                    jnp.float32,
+                ).astype(self.dtype)
+                xs = x.astype(self.dtype) * inv_s
+                # calibration hook: per-channel |x| max, folded across
+                # calls/batches (no-op unless 'act_stats' is mutable)
+                self.sow(
+                    "act_stats", "amax",
+                    jnp.max(jnp.abs(xs.astype(jnp.float32)).reshape(
+                        -1, in_dim), axis=0),
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.zeros((in_dim,), jnp.float32),
+                )
+                y = int8_dynamic_matmul(xs, q, scale)
             elif rows <= 32 and jax.default_backend() in ("tpu", "axon"):
                 # weight-only decode gemv: XLA's convert doesn't fuse into
                 # narrow matvecs (measured 75x slow) — stream int8 in Pallas

@@ -107,7 +107,8 @@ def _gen_quant_leaf(key, shape):
     return q, scale.astype(jnp.float32)
 
 
-def quantize_leaves_on_device(shapes: Any, seed: int = 0) -> Any:
+def quantize_leaves_on_device(shapes: Any, seed: int = 0,
+                              w8a8: bool = False) -> Any:
     """Random-init a param tree of ``jax.eval_shape`` structs directly in
     quantized form, leaf-by-leaf on device: every 2-D ``kernel`` leaf is
     born as ``kernel_q`` int8 + ``kernel_scale`` (the quantize_tree /
@@ -137,6 +138,9 @@ def quantize_leaves_on_device(shapes: Any, seed: int = 0) -> Any:
                 q, scale = _gen_quant_leaf(k, tuple(val.shape))
                 out["kernel_q"] = q
                 out["kernel_scale"] = scale
+                if w8a8:
+                    out["input_scale"] = jnp.ones(
+                        (val.shape[0],), jnp.float32)
             else:
                 out[name] = rec(val)
         return out
@@ -144,10 +148,13 @@ def quantize_leaves_on_device(shapes: Any, seed: int = 0) -> Any:
     return rec(dict(shapes) if isinstance(shapes, dict) else shapes)
 
 
-def quantize_tree(params: Any, min_size: int = 1 << 16) -> Any:
+def quantize_tree(params: Any, min_size: int = 1 << 16,
+                  w8a8: bool = False) -> Any:
     """Quantize every 2-D 'kernel' leaf bigger than ``min_size`` elements to
     sibling leaves ``kernel_q`` (int8) + ``kernel_scale`` (f32) — the param
-    layout QDense declares. Embeddings/norms/biases stay as-is."""
+    layout QDense declares. Embeddings/norms/biases stay as-is. With
+    ``w8a8=True`` an identity ``input_scale`` (SmoothQuant channel
+    equalizer slot, QDense w8a8 path) is emitted alongside."""
 
     def rec(node):
         if not isinstance(node, dict):
@@ -157,11 +164,68 @@ def quantize_tree(params: Any, min_size: int = 1 << 16) -> Any:
             if (key == "kernel" and not isinstance(val, dict)
                     and np.asarray(val).ndim == 2
                     and np.asarray(val).size >= min_size):
-                qw = quantize_weight(np.asarray(val, np.float32))
+                arr = np.asarray(val, np.float32)
+                qw = quantize_weight(arr)
                 out["kernel_q"] = qw["q"]
                 out["kernel_scale"] = qw["scale"]
+                if w8a8:
+                    out["input_scale"] = np.ones(arr.shape[0], np.float32)
             else:
                 out[key] = rec(val)
         return out
 
     return rec(params)
+
+
+def collect_act_stats(module, variables, *args, method=None,
+                      stats: Any = None, **kwargs) -> Any:
+    """Run one forward with the 'act_stats' collection mutable and fold the
+    per-channel |x| maxima into ``stats`` (elementwise max across calls)."""
+    _, mut = module.apply(variables, *args, method=method,
+                          mutable=["act_stats"], **kwargs)
+    new = mut["act_stats"]
+    if stats is None:
+        return new
+    return jax.tree.map(jnp.maximum, stats, new)
+
+
+def equalize_quantized_tree(params: Any, act_stats: Any,
+                            alpha: float = 0.5) -> Any:
+    """SmoothQuant-style channel equalization of an already-quantized tree.
+
+    For each QDense node (kernel_q/kernel_scale[/input_scale]) with
+    calibrated per-channel activation maxima (``collect_act_stats``),
+    migrate activation outliers into the frozen weights:
+
+        s_j = amax_x_j^alpha / amax_w_j^(1-alpha)
+        W' = W * s[:, None]   (requantized per-output absmax)
+        x' = x / s            (QDense divides by ``input_scale``)
+
+    Per-token absmax activation quant then sees a flattened channel
+    profile; the product x'W' is mathematically unchanged. Composes:
+    repeated calibration folds into the existing input_scale."""
+
+    def rec(p, s):
+        if not isinstance(p, dict):
+            return p
+        if "kernel_q" in p and isinstance(s, dict) and "amax" in s:
+            amax_x = np.asarray(s["amax"], np.float32)
+            q = np.asarray(p["kernel_q"], np.float32)
+            scale = np.asarray(p["kernel_scale"], np.float32)
+            w = q * scale[None, :]
+            amax_w = np.maximum(np.abs(w).max(axis=1), 1e-8)
+            s_ch = np.power(np.maximum(amax_x, 1e-8), alpha) / np.power(
+                amax_w, 1.0 - alpha)
+            s_ch = np.where(amax_x <= 0, 1.0, np.clip(s_ch, 1e-4, 1e4))
+            qw = quantize_weight(w * s_ch[:, None])
+            prev = np.asarray(
+                p.get("input_scale", np.ones_like(s_ch)), np.float32)
+            out = {k: v for k, v in p.items()}
+            out["kernel_q"] = qw["q"]
+            out["kernel_scale"] = qw["scale"]
+            out["input_scale"] = prev * s_ch
+            return out
+        return {k: rec(v, s.get(k) if isinstance(s, dict) else None)
+                for k, v in p.items()}
+
+    return rec(params, act_stats)
