@@ -142,8 +142,10 @@ class WebDatasetPipeline:
             "token_budget requires sample_len_fn"
         rng = random.Random(self.seed + self.rank + 1)
         max_batch = self.batch_size or 32
+        leftover: List[Any] = []
         while True:
-            window = list(itertools.islice(it, self.budget_window))
+            window = leftover + list(
+                itertools.islice(it, self.budget_window - len(leftover)))
             if len(window) < self.min_batch:
                 return
             window.sort(key=self.sample_len_fn)
@@ -162,6 +164,9 @@ class WebDatasetPipeline:
                         break
                 batches.append(window[i:i + bs])
                 i += bs
+            # sub-min_batch tail rolls into the next window (no sample loss
+            # on the streaming path)
+            leftover = window[i:]
             rng.shuffle(batches)
             for batch in batches:
                 yield self.collator(batch) if self.collator else batch
