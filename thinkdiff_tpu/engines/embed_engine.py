@@ -280,6 +280,10 @@ class EmbedEngine:
         if self._vision_fn is None:
             @jax.jit
             def run(params, patches, cos, sin, bias):
+                # cast on DEVICE: a host-side ml_dtypes f32->bf16 cast of a
+                # 96-image patch batch took ~100 s on a 1-vCPU host (about
+                # 1 M elem/s) vs ~8 s to just upload the f32 bytes
+                patches = patches.astype(self.cfg.vision.dtype)
                 return self.vision.apply({"params": params}, patches, cos,
                                          sin, bias)
 
@@ -422,23 +426,31 @@ class EmbedEngine:
         # bias alone is 268 MB of host->device traffic.
         image_embeds_list: List[Optional[np.ndarray]] = [None] * len(all_patches)
         if all_patches:
+            import os as _os
+            import time as _time
+            dbg = _os.environ.get("THINKDIFF_ENGINE_DEBUG")
             groups: Dict[Tuple[int, int, int], List[int]] = {}
             for i, g in enumerate(all_grids):
                 groups.setdefault(tuple(g), []).append(i)
-            import ml_dtypes
 
             for grid, idxs in groups.items():
+                _t0 = _time.perf_counter()
                 pos_hw = vision_rot_pos_emb(np.asarray([grid], np.int64), merge)
                 cos, sin = vision_cos_sin(pos_hw, self.cfg.vision.head_dim)
-                # bf16 upload: patches dominate host->device bytes
-                batch_patches = np.stack(
-                    [all_patches[i] for i in idxs]
-                ).astype(ml_dtypes.bfloat16)
+                # f32 upload + device-side bf16 cast: doubles the bytes but
+                # the host ml_dtypes cast is ~10x slower than the tunnel
+                batch_patches = np.stack([all_patches[i] for i in idxs])
+                _t1 = _time.perf_counter()
                 embeds = self._get_vision_fn()(
                     self.params["vision"], jnp.asarray(batch_patches),
                     jnp.asarray(cos), jnp.asarray(sin), None,
                 )
                 embeds = np.asarray(embeds)  # (B, S/m^2, hidden), model dtype
+                _t2 = _time.perf_counter()
+                if dbg:
+                    logger.warning(
+                        "vision group %s x%d: host-pack %.2fs run+sync %.2fs",
+                        grid, len(idxs), _t1 - _t0, _t2 - _t1)
                 for j, i in enumerate(idxs):
                     image_embeds_list[i] = embeds[j]
 
@@ -673,7 +685,12 @@ class EmbedEngine:
             return self.generate(samples, max_new_tokens=max_new_tokens,
                                  seed=seed)
 
+        import os as _os
+        import time as _time
+        dbg = _os.environ.get("THINKDIFF_ENGINE_DEBUG")
+        _tp0 = _time.perf_counter()
         prepared = self._prepare(texts, images_per_sample)
+        t_prepare = _time.perf_counter() - _tp0
         # longest-first: early refill groups get the big prompt buckets
         order = sorted(range(n), key=lambda i: -len(prepared[i]["ids"]))
         queue = list(order)
@@ -690,8 +707,10 @@ class EmbedEngine:
         first_batch = [prepared[queue.pop(0)] for _ in range(slots)]
         slot_req = [order[i] for i in range(slots)]
         rng, sub = jax.random.split(rng)
+        _tp0 = _time.perf_counter()
         first, hidden, caches, prompt_lens, last_idx, start_pos = \
             self._prefill(first_batch, max_tokens, sub, cache_size=cache_size)
+        t_first = _time.perf_counter() - _tp0
 
         results: Dict[int, Tuple] = {}
         # per-slot host accumulators
@@ -725,9 +744,6 @@ class EmbedEngine:
             results[req] = (text, list(p["ids"]), toks,
                             slot_prompt_hidden[si], hid, p["prompt"])
 
-        import os as _os
-        import time as _time
-        dbg = _os.environ.get("THINKDIFF_ENGINE_DEBUG")
         t_decode = t_sync = t_refill = 0.0
         n_chunks = 0
         while slot_active.any():
@@ -804,8 +820,9 @@ class EmbedEngine:
 
         if dbg:
             logger.warning(
-                "generate_many: %d chunks decode=%.2fs sync=%.2fs "
-                "refill=%.2fs", n_chunks, t_decode, t_sync, t_refill)
+                "generate_many: %d chunks prepare=%.2fs first_prefill=%.2fs "
+                "decode=%.2fs sync=%.2fs refill=%.2fs",
+                n_chunks, t_prepare, t_first, t_decode, t_sync, t_refill)
         ordered = [results[i] for i in range(n)]
         cols = list(zip(*ordered))
         return GenerationResult(
