@@ -113,3 +113,33 @@ def test_flux_sampler_on_mesh():
     )
     assert latents.shape == (2, 4, cfg.in_channels)  # 32px -> 4x4 latent -> 4 packed
     assert np.isfinite(np.asarray(latents, np.float32)).all()
+
+
+def test_quantized_kernel_triplet_shards_like_fp_kernel():
+    """kernel_q/kernel_scale/input_scale inherit the fp kernel's rule —
+    an int8 frozen tower must not silently replicate on the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from thinkdiff_tpu.ops.quant import quantize_tree
+    from thinkdiff_tpu.parallel.sharding import shard_spec_tree
+
+    rs = np.random.RandomState(0)
+    params = {
+        "layer_0": {
+            "self_attn": {"q_proj": {"kernel": rs.randn(16, 16)},
+                          "o_proj": {"kernel": rs.randn(16, 16)}},
+            "mlp": {"gate_proj": {"kernel": rs.randn(16, 32)}},
+        },
+        "lm_head": {"kernel": rs.randn(16, 64)},
+    }
+    q = quantize_tree(params, min_size=0, w8a8=True)
+    specs = shard_spec_tree(q)
+    qp = specs["layer_0"]["self_attn"]["q_proj"]
+    assert qp["kernel_q"] == P("fsdp", "model")
+    assert qp["kernel_scale"] == P("model")
+    assert qp["input_scale"] == P("fsdp")
+    op = specs["layer_0"]["self_attn"]["o_proj"]
+    assert op["kernel_q"] == P("model", "fsdp")
+    assert op["kernel_scale"] == P("fsdp")
+    assert op["input_scale"] == P("model")
+    assert specs["lm_head"]["kernel_q"] == P("fsdp", "model")

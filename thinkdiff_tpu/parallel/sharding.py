@@ -44,16 +44,34 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def spec_for_param(path, value, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> P:
-    name = _path_str(path)
+def _spec_for_name(name: str, rules: Sequence[Tuple[str, P]]) -> P:
     for pattern, spec in rules:
         if re.match(pattern, name):
-            # Drop axes that don't divide the dim or exceed rank.
-            axes = list(spec)
-            if len(axes) > value.ndim:
-                axes = axes[: value.ndim]
-            return P(*axes)
+            return spec
     return P()
+
+
+def spec_for_param(path, value, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> P:
+    name = _path_str(path)
+    base, _, leaf = name.rpartition("/")
+    if leaf in ("kernel_q", "kernel_scale", "input_scale"):
+        # quantized-kernel triplet (ops/quant layout): kernel_q shares the
+        # fp kernel's (in, out) spec; kernel_scale (out,) takes the out
+        # axis; input_scale (in,) takes the in axis — so an int8 frozen
+        # tower shards exactly like its bf16 twin instead of replicating
+        kspec = list(_spec_for_name(base + "/kernel", rules)) + [None, None]
+        if leaf == "kernel_q":
+            axes = kspec[:2]
+        elif leaf == "kernel_scale":
+            axes = [kspec[1]]
+        else:
+            axes = [kspec[0]]
+    else:
+        axes = list(_spec_for_name(name, rules))
+    # Drop axes that exceed the leaf's rank.
+    if len(axes) > value.ndim:
+        axes = axes[: value.ndim]
+    return P(*axes)
 
 
 def shard_spec_tree(params: Any, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> Any:
