@@ -274,10 +274,14 @@ class LlavaInstructEmbedBuilder(BaseDatasetBuilder):
                 max_txt = int(self.knob("max_txt_len", 128))
 
                 def embed_len(sample):
-                    for key in sample:
-                        if "output_embed" in key or "input_embed" in key:
-                            return int(np.asarray(sample[key]).shape[0])
-                    return max(max_split, max_txt)
+                    # max over ALL embed fields: a sample carrying both
+                    # input and output embeds of different lengths must be
+                    # costed by the longer one, or batches can exceed the
+                    # intended padded-token budget.
+                    lens = [int(np.asarray(sample[key]).shape[0])
+                            for key in sample
+                            if "output_embed" in key or "input_embed" in key]
+                    return max(lens) if lens else max(max_split, max_txt)
 
                 budget_kw = dict(
                     token_budget=int(budget), sample_len_fn=embed_len,

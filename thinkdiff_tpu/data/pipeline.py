@@ -63,7 +63,11 @@ class WebDatasetPipeline:
         self.sample_len_fn = sample_len_fn
         self.budget_len_cap = budget_len_cap
         self.budget_window = budget_window
-        self.min_batch = min_batch
+        # min_batch may not exceed batch_size: otherwise the candidate
+        # range in _budget_batch_iter is empty and every batch silently
+        # lands at min_batch, exceeding both the configured batch size
+        # and (potentially) the token budget.
+        self.min_batch = min(min_batch, batch_size) if batch_size else min_batch
 
     def _shard_iter(self, rng: random.Random) -> Iterator[str]:
         if self.resample:

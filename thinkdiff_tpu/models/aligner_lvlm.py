@@ -181,9 +181,30 @@ class MllamaT5EmbedDecoder(BaseModel):
     def loss_fn(self, trainable, frozen, batch, rng=None):
         """batch: embeds (B,S,Dv), embed_mask (B,S), labels (B,T) with -100
         pad. Projector output conditions the T5 decoder directly
-        (reference :585-598 — ``encoder_outputs=(proj,)``)."""
+        (reference :585-598 — ``encoder_outputs=(proj,)``).
+
+        Default path fuses lm_head + CE over token chunks
+        (ops/chunked_ce): per-token numerics are identical to the full
+        logits path, but peak logits memory drops from O(B*T*V) to
+        O(B*chunk*V) — the round-2 batch ceiling was the ~1 GB f32 logits
+        chain (PERF.md). ``chunked_ce: 0`` in the model config restores
+        the monolithic head."""
         proj = self.project(trainable, batch["embeds"], rng)
         labels = batch["labels"]
+        chunk = int(self.cfg.get("chunked_ce", 32) or 0)
+        if chunk and not self.t5_cfg.tie_word_embeddings:
+            from thinkdiff_tpu.ops.chunked_ce import chunked_head_cross_entropy
+
+            hidden = self.t5.apply(
+                {"params": frozen["t5"]},
+                method=self.t5.decode_hidden,
+                decoder_input_ids=shift_right(labels),
+                encoder_states=proj,
+                cross_mask=batch.get("embed_mask"),
+            )
+            return chunked_head_cross_entropy(
+                hidden, labels, frozen["t5"]["lm_head"],
+                dtype=self.dtype, chunk=chunk)
         logits = self.t5.apply(
             {"params": frozen["t5"]},
             method=self.t5.decode_with_encoder_states,

@@ -51,6 +51,11 @@ class T5Config:
     tie_word_embeddings: bool = False
     dropout_rate: float = 0.1
     remat: bool = False  # jax.checkpoint each block: activations -> recompute
+    # selective remat of ONLY the FFN: drops the (rows, d_ff) gate/up
+    # activation saves (the round-2 batch-24/32 OOM driver — PERF.md
+    # "memory ceiling") at the cost of recomputing the FFN forward in the
+    # backward. Strictly weaker than ``remat``; ignored when remat is set.
+    remat_ffn: bool = False
     # False | True/"int8" (weight-only) | "w8a8" (int8 activations too) —
     # quantization of the frozen tower (see QDense)
     quant_int8: Any = False
@@ -321,7 +326,9 @@ class T5Block(nn.Module):
             x = x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
         h = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
                         name="ffn_norm")(x)
-        h = T5FFN(cfg, name="ffn")(h, deterministic=deterministic)
+        ffn_cls = (nn.remat(T5FFN, static_argnums=(1,))
+                   if cfg.remat_ffn and not cfg.remat else T5FFN)
+        h = ffn_cls(cfg, name="ffn")(h, deterministic)
         return x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
 
 
@@ -406,17 +413,27 @@ class T5ForConditionalGeneration(nn.Module):
             mask = jnp.concatenate([extra_attention_mask, mask], axis=1)
         return states, mask
 
+    def decode_hidden(self, decoder_input_ids, encoder_states,
+                      cross_mask=None, decoder_mask=None, deterministic=True):
+        """Decoder final hidden states (B, T, D) — the pre-lm_head tap.
+        Callers that fuse the head (ops/chunked_ce) or tap embeddings use
+        this; ``decode_with_encoder_states`` adds the head."""
+        dec_embeds = self.shared(decoder_input_ids)
+        return self.decoder(
+            dec_embeds, encoder_states.astype(dec_embeds.dtype),
+            self_mask=decoder_mask, cross_mask=cross_mask,
+            deterministic=deterministic,
+        )
+
     def decode_with_encoder_states(self, decoder_input_ids, encoder_states,
                                    cross_mask=None, decoder_mask=None,
                                    deterministic=True):
         """Encoder-less path: any (B, S, D) states can condition the decoder
         (reference mllama_vllm_t5_embed_decoder_2.py:585-598 passes
         ``encoder_outputs=(proj,)``)."""
-        dec_embeds = self.shared(decoder_input_ids)
-        hidden = self.decoder(
-            dec_embeds, encoder_states.astype(dec_embeds.dtype),
-            self_mask=decoder_mask, cross_mask=cross_mask,
-            deterministic=deterministic,
+        hidden = self.decode_hidden(
+            decoder_input_ids, encoder_states, cross_mask=cross_mask,
+            decoder_mask=decoder_mask, deterministic=deterministic,
         )
         if self.cfg.tie_word_embeddings:
             hidden = hidden * (self.cfg.d_model ** -0.5)

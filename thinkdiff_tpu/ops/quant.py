@@ -203,7 +203,12 @@ def equalize_quantized_tree(params: Any, act_stats: Any,
 
     Per-token absmax activation quant then sees a flattened channel
     profile; the product x'W' is mathematically unchanged. Composes:
-    repeated calibration folds into the existing input_scale."""
+    repeated calibration folds into the existing input_scale — for the
+    SCALES. Weight precision does not: each pass re-quantizes from the
+    already-dequantized int8 weights (q*scale), stacking ~1 extra LSB of
+    rounding error per pass. Calibrate once per deployment from freshly
+    converted weights; if repeated calibration is expected, keep an fp32
+    shadow of the originals and re-run from that."""
 
     def rec(p, s):
         if not isinstance(p, dict):

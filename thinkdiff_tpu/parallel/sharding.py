@@ -74,11 +74,20 @@ def spec_for_param(path, value, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) 
     return P(*axes)
 
 
-def shard_spec_tree(params: Any, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> Any:
-    """PartitionSpec pytree matching ``params``."""
-    return jax.tree_util.tree_map_with_path(
-        lambda p, v: spec_for_param(p, v, rules), params
-    )
+def shard_spec_tree(params: Any, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES,
+                    mesh: Mesh | None = None) -> Any:
+    """PartitionSpec pytree matching ``params``.
+
+    Without ``mesh`` the specs are RAW rule output: an axis whose mesh size
+    does not divide the dim (e.g. a tiny future ``nn.Embed`` caught by the
+    broad ``.*/embedding$`` rule) is still present and will fail if applied
+    directly. Pass ``mesh`` (or use :func:`sharding_tree`, the production
+    path) to demote such axes to replication."""
+    def spec(p, v):
+        s = spec_for_param(p, v, rules)
+        return _valid_spec(s, v.shape, mesh) if mesh is not None else s
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def _valid_spec(spec: P, shape, mesh: Mesh) -> P:

@@ -47,6 +47,7 @@ class RunnerBase:
         self.resume_ckpt_path = run.get("resume_ckpt_path", None)
         self.train_splits = list(run.get("train_splits", ["train"]))
         self.valid_splits = list(run.get("valid_splits", []))
+        self.test_splits = list(run.get("test_splits", []))
 
         lib_root = registry.get_path("repo_root") or "."
         self.output_dir = os.path.join(
@@ -152,9 +153,61 @@ class RunnerBase:
             if self.evaluate_only:
                 break
 
+        # Final test-split evaluation from the best checkpoint (reference
+        # runner_base.py:415-440: post-training evaluate with
+        # skip_reload=False on test splits). In evaluate-only mode the
+        # caller-provided checkpoint is evaluated as-is.
+        if self.test_splits:
+            self.evaluate(cur_epoch="best", skip_reload=self.evaluate_only)
+
         total = time.time() - start_time
         logger.info("Training time %.1f s", total)
         return stats_all
+
+    def evaluate(self, cur_epoch="best", skip_reload: bool = False) -> Dict[str, Any]:
+        """Evaluate every test split, reloading the best checkpoint first
+        unless ``skip_reload`` (reference runner_base.py:415-440)."""
+        results: Dict[str, Any] = {}
+        if not skip_reload and cur_epoch == "best":
+            self._reload_best_model()
+        for split in self.test_splits:
+            for name, splits in self.datasets.items():
+                if split not in splits:
+                    continue
+                dist_eval = bool(self.config.run_cfg.get(
+                    "use_dist_eval_sampler", True))
+                loader = splits[split].get_loader(
+                    rank=get_rank() if dist_eval else 0,
+                    world_size=get_world_size() if dist_eval else 1,
+                    seed=self.seed, epoch=0,
+                )
+                val = self.task.evaluation(
+                    self.trainer, self.state, loader,
+                    max_batches=self.config.run_cfg.get(
+                        "max_eval_batches", None))
+                self.log_stats(val, split_name=split, epoch=cur_epoch)
+                results[split] = val
+        barrier()
+        return results
+
+    def _reload_best_model(self) -> bool:
+        """Load checkpoint_best's trainable params into the live state
+        (reference _reload_best_model runner_base.py:625-643 — model
+        weights only; optimizer state stays as-is)."""
+        for ext in (".orbax", ".msgpack"):
+            path = self.ckpt._path("best") + ext
+            if os.path.exists(path):
+                restored = self.ckpt.load(path, self.state)
+                self.state = {
+                    **self.state,
+                    "params": jax.tree.map(
+                        jax.numpy.asarray, restored["model"]),
+                }
+                self.model.load_trainable(self.state["params"])
+                logger.info("Reloaded best checkpoint for final evaluation")
+                return True
+        logger.warning("No best checkpoint found; evaluating current state")
+        return False
 
     # -- checkpoint ---------------------------------------------------------
     def _load_checkpoint(self, path: str):

@@ -109,24 +109,31 @@ class BaseTask:
         header = f"Train: data epoch: [{epoch}]"
         rng = jax.random.PRNGKey(seed + get_rank())
 
+        # Gradient accumulation lives INSIDE the jitted step
+        # (optax.MultiSteps, core/optim.py:make_optimizer) — the task loop
+        # only owes the reference's per-OPTIMIZER-step wandb cadence
+        # (reference base_task.py:258-261 logs after scaler.step, i.e. every
+        # accum_grad_iters micro iters).
         data_iter = iter(data_loader)
         inner = metric_logger.log_every(range(iters_per_epoch), log_freq, header)
         pending = None  # async dispatch: read metrics one step late
+        pending_i = 0
+
+        def flush(metrics, i):
+            loss, lr = float(metrics["loss"]), float(metrics["lr"])
+            metric_logger.update(loss=loss, lr=lr)
+            if wandb_log and (i + 1) % max(accum_grad_iters, 1) == 0:
+                self._wandb_step(loss, lr)
+
         for _i in inner:
             batch = next(data_iter)
             batch = trainer.prepare_batch(batch)
             state, metrics = trainer.train_step(state, batch, rng)
             if pending is not None:
-                loss, lr = float(pending["loss"]), float(pending["lr"])
-                metric_logger.update(loss=loss, lr=lr)
-                if wandb_log:
-                    self._wandb_step(loss, lr)
-            pending = metrics
+                flush(pending, pending_i)
+            pending, pending_i = metrics, _i
         if pending is not None:
-            loss, lr = float(pending["loss"]), float(pending["lr"])
-            metric_logger.update(loss=loss, lr=lr)
-            if wandb_log:
-                self._wandb_step(loss, lr)
+            flush(pending, pending_i)
         if profile_dir and epoch == 0:
             jax.profiler.stop_trace()
         metric_logger.synchronize_between_processes()
