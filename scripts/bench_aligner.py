@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--chunked-ce", type=int, default=32,
                     help="tokens per lm_head/CE chunk; 0 = monolithic")
     ap.add_argument("--remat-ffn", action="store_true")
+    ap.add_argument("--fused-proj", action="store_true")
     ap.add_argument("--quant", default="int8_dyn",
                     choices=["none", "int8", "int8_dyn"])
     ap.add_argument("--passes", type=int, default=2)
@@ -42,6 +43,7 @@ def main():
         vocab_size=32128, d_model=4096, d_kv=64, d_ff=10240,
         num_layers=1, num_decoder_layers=24, num_heads=64, dropout_rate=0.0,
         remat_ffn=bool(args.remat_ffn),
+        fused_proj=bool(args.fused_proj),
     )
     model = MllamaT5EmbedDecoder(ConfigNode({
         "dtype": "bfloat16", "load_pretrained": False,
@@ -85,7 +87,8 @@ def main():
         "value": round(sps, 2), "unit": "samples/s/chip",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC_PER_A100, 3),
         "config": {"batch": args.batch, "chunked_ce": args.chunked_ce,
-                   "remat_ffn": args.remat_ffn, "quant": args.quant},
+                   "remat_ffn": args.remat_ffn, "fused_proj": args.fused_proj,
+                   "quant": args.quant},
         "compile_s": round(compile_s, 1), "measure_s": round(dt, 1),
     }))
 

@@ -99,7 +99,16 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0,))
 
     def prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        """Host numpy -> device arrays sharded over the data axis."""
+        """Host numpy -> device arrays sharded over the data axis.
+
+        Single-process: a plain sharded device_put. Multi-process (a real
+        pod): each host holds only ITS slice of the global batch (loaders
+        shard by rank — the GSPMD analog of the reference's
+        DistributedSampler, runner_base.py:546-551), so the global array is
+        assembled from per-process shards via
+        ``jax.make_array_from_process_local_data``."""
+        if jax.process_count() > 1:
+            return global_batch_slices(batch, self.mesh)
         return {
             k: jax.device_put(v, self.batch_sharding)
             for k, v in batch.items()

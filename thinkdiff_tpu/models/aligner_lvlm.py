@@ -36,6 +36,14 @@ from thinkdiff_tpu.models.t5 import (
 
 logger = logging.getLogger(__name__)
 
+
+def _decoder_attn_blocks(t5_params):
+    dec = t5_params.get("decoder", {})
+    for name, blk in dec.items():
+        if name.startswith("block_") and "self_attn" in blk:
+            yield blk["self_attn"]
+
+
 # Qwen2-VL text hidden sizes (reference probes text_config/hidden_size at
 # mllama_vllm_t5_embed_decoder_2.py:423-431).
 _VLM_HIDDEN = {
@@ -145,6 +153,14 @@ class MllamaT5EmbedDecoder(BaseModel):
             t5_params = quantize_tree(
                 t5_params, min_size=0,
                 w8a8=cfg.get("quantize_frozen") == "int8_dyn")
+        if self.t5_cfg.fused_proj and any(
+            "qkv" not in blk for blk in _decoder_attn_blocks(t5_params)
+        ):
+            # HF checkpoints convert to the unfused layout; fold q|k|v,
+            # cross k|v, and wi_0|wi_1 into the fused kernels
+            from thinkdiff_tpu.models.t5 import fuse_t5_params
+
+            t5_params = fuse_t5_params(t5_params)
         self.frozen = {"t5": t5_params}
 
         proj_vars = self.projector.init(

@@ -56,6 +56,14 @@ class T5Config:
     # "memory ceiling") at the cost of recomputing the FFN forward in the
     # backward. Strictly weaker than ``remat``; ignored when remat is set.
     remat_ffn: bool = False
+    # fused projection groups: self-attn q|k|v -> one 'qkv' kernel,
+    # cross-attn k|v -> 'kv_fused', gated-FFN wi_0|wi_1 -> 'wi_fused'.
+    # One wide dot per group instead of 2-3 thin ones: fewer dispatches and
+    # larger N amortize the w8a8 int32-accum + dequant epilogue (round-2
+    # measured s8 saturation at 41% of peak on the unfused layout —
+    # PERF.md "MFU ceiling"). Param layout changes; ``fuse_t5_params``
+    # converts an unfused tree (fp or quantized triplets).
+    fused_proj: bool = False
     # False | True/"int8" (weight-only) | "w8a8" (int8 activations too) —
     # quantization of the frozen tower (see QDense)
     quant_int8: Any = False
@@ -235,10 +243,21 @@ class T5Attention(nn.Module):
         inner = cfg.num_heads * cfg.d_kv
         dense = lambda name: QDense(inner, dtype=cfg.dtype,
                                     quant=cfg.quant_int8, name=name)
-        source = hidden if kv is None else kv
-        q = dense("q")(hidden)
-        k = dense("k")(source)
-        v = dense("v")(source)
+        if cfg.fused_proj:
+            if kv is None:
+                qkv = QDense(3 * inner, dtype=cfg.dtype, quant=cfg.quant_int8,
+                             name="qkv")(hidden)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = dense("q")(hidden)
+                kvp = QDense(2 * inner, dtype=cfg.dtype, quant=cfg.quant_int8,
+                             name="kv_fused")(kv)
+                k, v = jnp.split(kvp, 2, axis=-1)
+        else:
+            source = hidden if kv is None else kv
+            q = dense("q")(hidden)
+            k = dense("k")(source)
+            v = dense("v")(source)
 
         b, tq, _ = q.shape
         tk = k.shape[1]
@@ -290,7 +309,11 @@ class T5FFN(nn.Module):
         cfg = self.cfg
         dense = lambda feat, name: QDense(feat, dtype=cfg.dtype,
                                           quant=cfg.quant_int8, name=name)
-        if cfg.is_gated:
+        if cfg.is_gated and cfg.fused_proj:
+            both = dense(2 * cfg.d_ff, "wi_fused")(x)
+            gate, up = jnp.split(both, 2, axis=-1)
+            h = cfg.act_fn(gate) * up
+        elif cfg.is_gated:
             gate = cfg.act_fn(dense(cfg.d_ff, "wi_0")(x))
             up = dense(cfg.d_ff, "wi_1")(x)
             h = gate * up
@@ -454,6 +477,68 @@ class T5ForConditionalGeneration(nn.Module):
             decoder_input_ids, states, cross_mask=mask,
             decoder_mask=decoder_mask, deterministic=deterministic,
         )
+
+
+def _concat_dense_params(nodes, axis=1):
+    """Concatenate QDense param dicts along the OUTPUT axis. Handles fp
+    ({kernel}) and quantized triplets ({kernel_q, kernel_scale[,
+    input_scale]}). Per-output-channel scales concatenate losslessly;
+    input_scale is per-INPUT and must agree across the fused branches
+    (identical ones on fresh trees; run equalization AFTER fusing)."""
+    first = nodes[0]
+    if "kernel" in first:
+        return {"kernel": jnp.concatenate(
+            [n["kernel"] for n in nodes], axis=axis)}
+    out = {
+        "kernel_q": jnp.concatenate([n["kernel_q"] for n in nodes], axis=axis),
+        "kernel_scale": jnp.concatenate(
+            [n["kernel_scale"] for n in nodes], axis=0),
+    }
+    if "input_scale" in first:
+        import numpy as _np
+
+        for n in nodes[1:]:
+            if not _np.allclose(_np.asarray(first["input_scale"]),
+                                _np.asarray(n["input_scale"]), rtol=1e-5):
+                raise ValueError(
+                    "fuse_t5_params: branches have diverged input_scale "
+                    "(equalization ran on the unfused layout) — re-fuse "
+                    "from pre-equalization weights, then calibrate.")
+        out["input_scale"] = first["input_scale"]
+    return out
+
+
+def fuse_t5_params(params):
+    """Unfused T5 param tree -> the ``fused_proj=True`` layout.
+
+    self_attn {q,k,v} -> qkv; cross_attn {k,v} -> kv_fused; gated FFN
+    {wi_0,wi_1} -> wi_fused. Works on fp kernels and ops/quant triplets;
+    use after ``convert_t5`` (HF checkpoints convert to the unfused
+    layout)."""
+    def rec(node, name=""):
+        if not isinstance(node, dict):
+            return node
+        keys = set(node.keys())
+        if name == "self_attn" and {"q", "k", "v"} <= keys:
+            fused = {"qkv": _concat_dense_params(
+                [node["q"], node["k"], node["v"]])}
+            rest = {k: rec(v, k) for k, v in node.items()
+                    if k not in ("q", "k", "v")}
+            return {**fused, **rest}
+        if name == "cross_attn" and {"k", "v"} <= keys:
+            fused = {"kv_fused": _concat_dense_params([node["k"], node["v"]])}
+            rest = {k: rec(v, k) for k, v in node.items()
+                    if k not in ("k", "v")}
+            return {**fused, **rest}
+        if name == "ffn" and {"wi_0", "wi_1"} <= keys:
+            fused = {"wi_fused": _concat_dense_params(
+                [node["wi_0"], node["wi_1"]])}
+            rest = {k: rec(v, k) for k, v in node.items()
+                    if k not in ("wi_0", "wi_1")}
+            return {**fused, **rest}
+        return {k: rec(v, k) for k, v in node.items()}
+
+    return rec(params)
 
 
 def shift_right(labels, decoder_start_token_id: int = 0, pad_id: int = 0):
