@@ -17,9 +17,16 @@ Benched configuration: ``quantize_frozen: int8_dyn`` (w8a8) — int8 frozen
 teacher weights AND per-token dynamic int8 activations; both operands hit
 the MXU as s8 (2x bf16 peak). Weight error <=0.4% relative, activation
 quant loss-curve-verified in tests/test_quant.py. Batch 16 is the HBM
-ceiling at the 128/128 bucket (activation residuals; see PERF.md). int8 /
-bf16 numbers additionally reported in PERF.md, with an MFU ceiling
-analysis (measured ~82% of v5e bf16 peak at this operating point).
+ceiling at the 128/128 bucket (activation residuals; see PERF.md).
+Round-3 additions, all shipped framework features (parity-tested):
+``fused_proj`` (one wide s8 dot per qkv / cross-kv / gate-up group),
+chunked lm_head+CE (ops/chunked_ce — no full-sequence logits), and
+TWO-LEVEL windowed length grouping (split drawn pre-batching, window
+sorted by (label bucket, split) — data/pipeline._sorted_batch_iter +
+EmbedShardCollator.assign_split), which cuts padded-token cost
+~2.37x -> ~1.71x of ideal at this mixture. Measured round-3 ladder on
+chip: 85.5 (round-2 best) -> 84.1 (chunked) -> 85.9 (+fused) -> 115.7
+(+two-level grouping) = 1.30x the A100 baseline.
 
 Baseline estimate: the paper reports 5 h on 4x A100 for 40 epochs x 5000
 iters at batch 32/GPU (README.md:27 + train config). Interpreted per-GPU:
@@ -36,30 +43,43 @@ BASELINE_SAMPLES_PER_SEC_PER_A100 = 200_000 * 32 / (5 * 3600) / 4  # ~88.9
 
 
 def build_batches(rs, n_batches, batch_size, d_vlm, vocab,
-                  max_split=128, max_txt=128):
+                  max_split=128, max_txt=128, sort_window=256):
     """Bucketed batches with reference-like length statistics.
 
     Generation lengths ~ N(60, 25) tokens (CC-SBU concise-caption
     generations, precompute temp 0.6 / brief instructions — typically
-    30-100 VLM tokens); samples are length-sorted before batching (the same
-    length-grouped chunking the precompute engine ships, commit 6366d69),
-    then split/padded exactly like EmbedShardCollator with bucket_lengths."""
+    30-100 VLM tokens); the random prefix split is drawn per sample with
+    the collator's distribution, then samples are grouped by the shipped
+    TWO-LEVEL windowed sort — window 256, key (label bucket, split)
+    (WebDatasetPipeline._sorted_batch_iter +
+    EmbedShardCollator.assign_split) — so batches coincide on both padded
+    axes, and padded exactly like EmbedShardCollator with bucket_lengths.
+    Workload statistics are unchanged vs the reference's random batches;
+    only the grouping is the framework's."""
     from thinkdiff_tpu.data.collators import bucket_length
 
-    gen_lens = np.sort(np.clip(
-        rs.normal(60, 25, n_batches * batch_size).astype(int), 16, 200))
+    n_total = n_batches * batch_size
+    gen_lens = np.clip(rs.normal(60, 25, n_total).astype(int), 16, 200)
+    splits = np.array([rs.randint(1, min(n - 1, max_split) + 1)
+                       for n in gen_lens])
+    label_lens = np.minimum(gen_lens - splits + 1, max_txt)
+    order = []
+    for i in range(0, n_total, sort_window):
+        w = np.arange(i, min(i + sort_window, n_total))
+        label_buckets = [bucket_length(max(1, int(n - s)), max_txt)
+                         for n, s in zip(gen_lens[w], splits[w])]
+        order.extend(w[np.lexsort((splits[w], label_buckets))])
+    order = np.asarray(order)
+
     batches = []
     for bi in range(n_batches):
-        ns = gen_lens[bi * batch_size:(bi + 1) * batch_size]
-        splits = np.array([rs.randint(1, min(n - 1, max_split) + 1)
-                           for n in ns])
-        label_lens = np.minimum(ns - splits + 1, max_txt)
-        sb = bucket_length(int(splits.max()), max_split)
-        tb = bucket_length(int(label_lens.max()), max_txt)
+        idx = order[bi * batch_size:(bi + 1) * batch_size]
+        sb = bucket_length(int(splits[idx].max()), max_split)
+        tb = bucket_length(int(label_lens[idx].max()), max_txt)
         embeds = rs.randn(batch_size, sb, d_vlm).astype(np.float32)
-        mask = (np.arange(sb)[None] < splits[:, None]).astype(np.int32)
+        mask = (np.arange(sb)[None] < splits[idx][:, None]).astype(np.int32)
         labels = rs.randint(1, vocab, (batch_size, tb)).astype(np.int32)
-        labels[np.arange(tb)[None] >= label_lens[:, None]] = -100
+        labels[np.arange(tb)[None] >= label_lens[idx][:, None]] = -100
         batches.append({"embeds": embeds, "embed_mask": mask,
                         "labels": labels})
     rs.shuffle(batches)
@@ -80,6 +100,7 @@ def main():
     t5_over = dict(
         vocab_size=32128, d_model=4096, d_kv=64, d_ff=10240,
         num_layers=1, num_decoder_layers=24, num_heads=64, dropout_rate=0.0,
+        fused_proj=True,
     )
     batch_size = 16
 

@@ -351,3 +351,59 @@ def test_token_budget_batching(tmp_path):
     short = [bs for ln, bs in sizes_by_len if ln <= 64]
     long = [bs for ln, bs in sizes_by_len if ln > 96]
     assert short and long and max(short) > max(long)
+
+
+def test_sorted_window_batching_two_level_grouping():
+    """sort_window + assign_split (two-level length grouping): batches are
+    homogeneous in (label bucket, split), every sample flows through
+    exactly once, and the collator honors the pre-assigned split."""
+    import random as _random
+
+    from thinkdiff_tpu.data.collators import (
+        EmbedShardCollator, bucket_length,
+    )
+    from thinkdiff_tpu.data.pipeline import WebDatasetPipeline
+
+    rs = np.random.RandomState(1)
+    rng = _random.Random(0)
+    lens = np.clip(rs.normal(60, 25, 128).astype(int), 16, 200)
+    samples = []
+    for i, n in enumerate(lens):
+        samples.append({
+            "model.norm.output_embed.pth": rs.randn(int(n), 8).astype(np.float32),
+            "json": {"generated_text": "t",
+                     "output_token_ids": [int(x) for x in rs.randint(3, 90, int(n))]},
+            "__key__": f"{i:08d}", "i": i,
+        })
+
+    mapped = [EmbedShardCollator.assign_split(dict(s), rng, 128, 128)
+              for s in samples]
+    assert all("__presplit__" in s and "__sortkey__" in s for s in mapped)
+
+    pipe = WebDatasetPipeline(
+        ["unused"], batch_size=8, sort_window=64,
+        sample_sort_fn=lambda s: s["__sortkey__"],
+        collator=lambda batch: batch,
+    )
+    pipe._sample_iter = lambda: iter(mapped)
+    batches = list(pipe)
+    seen = [s["i"] for b in batches for s in b]
+    assert len(seen) == len(set(seen))
+    assert len(seen) >= 128 - 7  # only the final sub-batch tail may drop
+
+    # grouping quality: most batches span a single label bucket
+    homogeneous = 0
+    for b in batches:
+        buckets = {s["__sortkey__"][0] for s in b}
+        homogeneous += buckets == {max(buckets)} and len(buckets) == 1
+    assert homogeneous >= len(batches) * 0.6, (homogeneous, len(batches))
+
+    # collator honors the presplit: embeds length == bucket(max presplit)
+    coll = EmbedShardCollator(
+        DummyTokenizer(), lambda ids: " ".join("x" * max(i - 1, 1) for i in ids),
+        bucket_lengths=True, seed=0)
+    batch = batches[0]
+    out = coll(batch)
+    exp_rows = max(s["__presplit__"] for s in batch)
+    assert out["embed_mask"].sum(axis=1).max() == exp_rows
+    assert out["embeds"].shape[1] == bucket_length(exp_rows, 128)

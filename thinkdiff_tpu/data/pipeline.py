@@ -45,6 +45,8 @@ class WebDatasetPipeline:
         budget_len_cap: int = 128,
         budget_window: int = 256,
         min_batch: int = 8,
+        sort_window: int = 0,
+        sample_sort_fn: Optional[Callable[[Dict[str, Any]], Any]] = None,
     ):
         if isinstance(urls, str):
             urls = brace_expand(urls)
@@ -68,6 +70,14 @@ class WebDatasetPipeline:
         # lands at min_batch, exceeding both the configured batch size
         # and (potentially) the token budget.
         self.min_batch = min(min_batch, batch_size) if batch_size else min_batch
+        # fixed-batch length grouping: hold ``sort_window`` samples, sort by
+        # ``sample_sort_fn`` (or sample_len_fn), cut batches, shuffle batch
+        # order. Same-bucket samples batch together so padded shapes shrink
+        # (the static-shape analog of length-grouped batching; two-level
+        # keys — see EmbedShardCollator.assign_split — also align the
+        # label axis).
+        self.sort_window = sort_window
+        self.sample_sort_fn = sample_sort_fn
 
     def _shard_iter(self, rng: random.Random) -> Iterator[str]:
         if self.resample:
@@ -118,6 +128,8 @@ class WebDatasetPipeline:
             return it
         if self.token_budget is not None:
             return self._budget_batch_iter(it)
+        if self.sort_window and self.sort_window > self.batch_size:
+            return self._sorted_batch_iter(it)
         return self._batch_iter(it)
 
     def _batch_iter(self, it) -> Iterator[Any]:
@@ -126,6 +138,29 @@ class WebDatasetPipeline:
             if len(batch) < self.batch_size:
                 return
             yield self.collator(batch) if self.collator else batch
+
+    def _sorted_batch_iter(self, it) -> Iterator[Any]:
+        """Fixed batch size, but batches are cut from a ``sort_window``
+        window sorted by ``sample_sort_fn`` (falling back to
+        sample_len_fn), then emitted in shuffled order — same samples,
+        tighter padded shapes, no length curriculum."""
+        key = self.sample_sort_fn or self.sample_len_fn
+        assert key is not None, "sort_window requires a sort key fn"
+        rng = random.Random(self.seed + self.rank + 17)
+        leftover: List[Any] = []
+        while True:
+            window = leftover + list(
+                itertools.islice(it, self.sort_window - len(leftover)))
+            if len(window) < self.batch_size:
+                return
+            window.sort(key=key)
+            n_full = len(window) // self.batch_size
+            batches = [window[i * self.batch_size:(i + 1) * self.batch_size]
+                       for i in range(n_full)]
+            leftover = window[n_full * self.batch_size:]
+            rng.shuffle(batches)
+            for batch in batches:
+                yield self.collator(batch) if self.collator else batch
 
     def _budget_batch_iter(self, it) -> Iterator[Any]:
         """Token-budget batching: batch size scales inversely with the
@@ -152,7 +187,7 @@ class WebDatasetPipeline:
                 itertools.islice(it, self.budget_window - len(leftover)))
             if len(window) < self.min_batch:
                 return
-            window.sort(key=self.sample_len_fn)
+            window.sort(key=self.sample_sort_fn or self.sample_len_fn)
             batches = []
             i = 0
             while i + self.min_batch <= len(window):
