@@ -87,6 +87,80 @@ def test_aligner_fused_loss_matches_unfused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_qwen2_fused_decode_matches_unfused():
+    """fused qkv (GQA sizes) + gate_up: same outputs and identical KV-cache
+    decode as the unfused layout on the same weights (incl. q/k/v biases)."""
+    import dataclasses
+
+    from thinkdiff_tpu.models.qwen2_vl import (
+        Qwen2VLConfig, Qwen2VLModel, fuse_qwen2_params,
+    )
+
+    cfg = Qwen2VLConfig.tiny()
+    cfg_f = dataclasses.replace(cfg, fused_proj=True)
+    model_u, model_f = Qwen2VLModel(cfg), Qwen2VLModel(cfg_f)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 200, (2, 6)))
+    pos = jnp.broadcast_to(jnp.arange(6)[None, None], (3, 2, 6)).astype(jnp.int32)
+    params_u = model_u.init(rng, input_ids=ids, position_ids=pos)["params"]
+    params_f = fuse_qwen2_params(params_u)
+
+    lo_u, hid_u, _ = model_u.apply({"params": params_u}, input_ids=ids,
+                                   position_ids=pos)
+    lo_f, hid_f, _ = model_f.apply({"params": params_f}, input_ids=ids,
+                                   position_ids=pos)
+    np.testing.assert_allclose(np.asarray(hid_f), np.asarray(hid_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lo_f), np.asarray(lo_u), atol=1e-4)
+
+    # decode step with caches
+    hd = cfg.head_dim
+    caches = [(jnp.zeros((2, cfg.num_kv_heads, 16, hd)),
+               jnp.zeros((2, cfg.num_kv_heads, 16, hd)))
+              for _ in range(cfg.num_layers)]
+    cache_len = jnp.zeros((2,), jnp.int32)
+    _, h_u, c_u = model_u.apply({"params": params_u}, input_ids=ids,
+                                position_ids=pos, caches=caches,
+                                cache_len=cache_len, compute_logits=False)
+    caches2 = [(jnp.zeros((2, cfg.num_kv_heads, 16, hd)),
+                jnp.zeros((2, cfg.num_kv_heads, 16, hd)))
+               for _ in range(cfg.num_layers)]
+    _, h_f, c_f = model_f.apply({"params": params_f}, input_ids=ids,
+                                position_ids=pos, caches=caches2,
+                                cache_len=cache_len, compute_logits=False)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=1e-5)
+    for (ku, vu), (kf, vf) in zip(c_u, c_f):
+        np.testing.assert_allclose(np.asarray(kf), np.asarray(ku), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vu), atol=1e-5)
+
+
+def test_qwen2_fused_quantized_triplets():
+    import dataclasses
+
+    from thinkdiff_tpu.models.qwen2_vl import (
+        Qwen2VLConfig, Qwen2VLModel, fuse_qwen2_params,
+    )
+    from thinkdiff_tpu.ops.quant import quantize_tree
+
+    cfg = Qwen2VLConfig.tiny(quant_int8="w8a8")
+    cfg_f = dataclasses.replace(cfg, fused_proj=True)
+    cfg_fp = dataclasses.replace(cfg, quant_int8=False)
+    model_fp = Qwen2VLModel(cfg_fp)
+    rng = jax.random.PRNGKey(1)
+    ids = jnp.asarray(np.random.RandomState(1).randint(1, 200, (2, 5)))
+    pos = jnp.broadcast_to(jnp.arange(5)[None, None], (3, 2, 5)).astype(jnp.int32)
+    params_fp = model_fp.init(rng, input_ids=ids, position_ids=pos)["params"]
+    q_params = quantize_tree(jax.tree.map(np.asarray, params_fp),
+                             min_size=0, w8a8=True)
+    q_fused = fuse_qwen2_params(q_params)
+
+    _, h_u, _ = Qwen2VLModel(cfg).apply({"params": q_params}, input_ids=ids,
+                                        position_ids=pos)
+    _, h_f, _ = Qwen2VLModel(cfg_f).apply({"params": q_fused}, input_ids=ids,
+                                          position_ids=pos)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_kernels_get_tensor_parallel_sharding():
     from jax.sharding import PartitionSpec as P
 
@@ -94,5 +168,7 @@ def test_fused_kernels_get_tensor_parallel_sharding():
 
     for name in ("decoder/block_0/self_attn/qkv/kernel",
                  "decoder/block_0/cross_attn/kv_fused/kernel",
-                 "decoder/block_0/ffn/wi_fused/kernel"):
+                 "decoder/block_0/ffn/wi_fused/kernel",
+                 "lm/decoder/layer_0/self_attn/qkv/kernel",
+                 "lm/decoder/layer_0/gate_up/kernel"):
         assert _spec_for_name(name, DEFAULT_RULES) == P("fsdp", "model"), name

@@ -198,10 +198,16 @@ class EmbedEngine:
         qname = str(vcfg_early.get("quantization", "")).lower()
         quant = {"int8": True, "int8_dyn": "w8a8", "w8a8": "w8a8"}.get(
             qname, False)
+        # fused qkv/gate_up: default ON for quantized decode (the round-2
+        # int8-decode regression was dispatch-bound thin dots; fusing cuts
+        # per-layer projections 7 -> 4); overridable via vllm_config
+        fused = bool(vcfg_early.get("fused_proj", bool(quant)))
         if "7B" in str(path):
-            cfg = Qwen2VLConfig.qwen2_vl_7b(dtype=dtype, quant_int8=quant)
+            cfg = Qwen2VLConfig.qwen2_vl_7b(dtype=dtype, quant_int8=quant,
+                                            fused_proj=fused)
         else:
-            cfg = Qwen2VLConfig.qwen2_vl_2b(dtype=dtype, quant_int8=quant)
+            cfg = Qwen2VLConfig.qwen2_vl_2b(dtype=dtype, quant_int8=quant,
+                                            fused_proj=fused)
         sd = maybe_load_hf_weights(path)
         if sd is None:
             raise FileNotFoundError(
@@ -216,6 +222,10 @@ class EmbedEngine:
             # decoder/lm_head only; the vision tower stays bf16
             params["lm"] = quantize_tree(params["lm"], min_size=0,
                                          w8a8=quant == "w8a8")
+        if fused:
+            from thinkdiff_tpu.models.qwen2_vl import fuse_qwen2_params
+
+            params["lm"] = fuse_qwen2_params(params["lm"])
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(path, local_files_only=True)

@@ -69,6 +69,12 @@ class Qwen2VLConfig:
     mrope_section: Sequence[int] = (16, 24, 24)
     tie_word_embeddings: bool = True
     quant_int8: bool = False  # weight-only int8 decoder (inference)
+    # fused projection groups: q|k|v -> one 'qkv' kernel (GQA sizes
+    # H*hd + 2*Hkv*hd), gate|up -> 'gate_up'. Decode is dispatch/launch-
+    # bound at batch<=8 (round-2: ~196 thin dots/step made int8 decode a
+    # 3.3x regression); fusing cuts per-layer projections 7 -> 4.
+    # ``fuse_qwen2_params`` converts an unfused tree.
+    fused_proj: bool = False
     image_token_id: int = 151655
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
@@ -238,9 +244,14 @@ class Qwen2Attention(nn.Module):
         qd = lambda feat, name, bias: QDense(feat, dtype=cfg.dtype,
                                              quant=cfg.quant_int8,
                                              use_bias=bias, name=name)
-        q = qd(cfg.num_heads * hd, "q_proj", True)(x)
-        k = qd(cfg.num_kv_heads * hd, "k_proj", True)(x)
-        v = qd(cfg.num_kv_heads * hd, "v_proj", True)(x)
+        if cfg.fused_proj:
+            q_sz, kv_sz = cfg.num_heads * hd, cfg.num_kv_heads * hd
+            qkv = qd(q_sz + 2 * kv_sz, "qkv", True)(x)
+            q, k, v = jnp.split(qkv, [q_sz, q_sz + kv_sz], axis=-1)
+        else:
+            q = qd(cfg.num_heads * hd, "q_proj", True)(x)
+            k = qd(cfg.num_kv_heads * hd, "k_proj", True)(x)
+            v = qd(cfg.num_kv_heads * hd, "v_proj", True)(x)
         q = q.reshape(b, t, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -288,8 +299,12 @@ class Qwen2Block(nn.Module):
         qd = lambda feat, name: QDense(feat, dtype=cfg.dtype,
                                        quant=cfg.quant_int8, name=name)
         y = norm("post_attn_norm")(x)
-        gate = qd(cfg.intermediate_size, "gate_proj")(y)
-        up = qd(cfg.intermediate_size, "up_proj")(y)
+        if cfg.fused_proj:
+            gu = qd(2 * cfg.intermediate_size, "gate_up")(y)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = qd(cfg.intermediate_size, "gate_proj")(y)
+            up = qd(cfg.intermediate_size, "up_proj")(y)
         y = qd(cfg.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
         return x + y, new_cache
 
@@ -420,6 +435,35 @@ def get_mrope_position_ids(
             i += 1
     delta = next_pos - T
     return pos, np.int64(delta)
+
+
+def fuse_qwen2_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Unfused decoder param tree -> the ``fused_proj=True`` layout:
+    self_attn {q_proj, k_proj, v_proj} -> qkv (GQA sizes preserved by
+    concat order q|k|v), mlp {gate_proj, up_proj} -> gate_up. Accepts the
+    full {vision, lm} tree or just the lm subtree; fp kernels, biases, and
+    ops/quant triplets all concatenate; already-fused trees pass through."""
+    from thinkdiff_tpu.models.t5 import _concat_dense_params
+
+    def rec(node, name=""):
+        if not isinstance(node, dict):
+            return node
+        keys = set(node.keys())
+        if name == "self_attn" and {"q_proj", "k_proj", "v_proj"} <= keys:
+            fused = {"qkv": _concat_dense_params(
+                [node["q_proj"], node["k_proj"], node["v_proj"]])}
+            rest = {k: rec(v, k) for k, v in node.items()
+                    if k not in ("q_proj", "k_proj", "v_proj")}
+            return {**fused, **rest}
+        if {"gate_proj", "up_proj"} <= keys:
+            fused = {"gate_up": _concat_dense_params(
+                [node["gate_proj"], node["up_proj"]])}
+            rest = {k: rec(v, k) for k, v in node.items()
+                    if k not in ("gate_proj", "up_proj")}
+            return {**fused, **rest}
+        return {k: rec(v, k) for k, v in node.items()}
+
+    return rec(params)
 
 
 # ---------------------------------------------------------------------------

@@ -487,13 +487,18 @@ def _concat_dense_params(nodes, axis=1):
     (identical ones on fresh trees; run equalization AFTER fusing)."""
     first = nodes[0]
     if "kernel" in first:
-        return {"kernel": jnp.concatenate(
+        out = {"kernel": jnp.concatenate(
             [n["kernel"] for n in nodes], axis=axis)}
+        if "bias" in first:
+            out["bias"] = jnp.concatenate([n["bias"] for n in nodes], axis=0)
+        return out
     out = {
         "kernel_q": jnp.concatenate([n["kernel_q"] for n in nodes], axis=axis),
         "kernel_scale": jnp.concatenate(
             [n["kernel_scale"] for n in nodes], axis=0),
     }
+    if "bias" in first:
+        out["bias"] = jnp.concatenate([n["bias"] for n in nodes], axis=0)
     if "input_scale" in first:
         import numpy as _np
 
