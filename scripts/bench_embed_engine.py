@@ -32,6 +32,11 @@ def main():
                         help="frozen-weight quantization of the LM stack "
                              "(int8: weight-only Pallas decode gemv; w8a8: "
                              "s8xs8 XLA dots, halved decode weight reads)")
+    parser.add_argument("--fused", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="fused qkv/gate_up projection groups (auto: "
+                             "on when quantized, matching the engine's "
+                             "from_config default)")
     parser.add_argument("--mean-len", type=int, default=80,
                         help="emulated generation-length mean (the CC-SBU "
                              "caption workload finishes at EOS well before "
@@ -50,7 +55,9 @@ def main():
     )
 
     quant = {"none": False, "int8": True, "w8a8": "w8a8"}[args.quant]
-    cfg = Qwen2VLConfig.qwen2_vl_2b(quant_int8=quant)
+    fused = {"auto": bool(quant), "on": True, "off": False}[args.fused]
+    cfg = Qwen2VLConfig.qwen2_vl_2b(quant_int8=quant, fused_proj=fused)
+    print(f"fused_proj={fused}")
     # tiny-vocab trick is NOT used: keep the real 151936 vocab (lm_head cost
     # matters). Random init at full geometry.
     rng = jax.random.PRNGKey(0)
