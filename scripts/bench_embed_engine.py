@@ -3,10 +3,27 @@ reference precompute operating point (Qwen2-VL-2B, ~256-token prompts with
 one image, 256 generated tokens, temp 0.6/top_p 0.9 — reference
 configs/qwen2_vl_embed_ccsbu.yaml). Random weights; throughput only.
 
-Usage: python -m scripts.bench_embed_engine [--batch 16] [--max-tokens 256]
+Quiet-window protocol (the authoritative numbers recorded in PERF.md):
+  - per-iteration wall times are recorded individually; the report emits
+    BOTH the median (expected throughput) and the best iteration (the
+    quiet-window number — on a shared-core host the median is polluted by
+    CPU throttling that does not exist on a production TPU host, PERF.md
+    round-2 postmortem);
+  - generation lengths are emulated from the CC-SBU completion mix
+    (normal(mean 80, sd 40), clipped to [8, max_tokens]) via the engine's
+    stop hook, seeded — identical across modes and runs;
+  - --json writes one machine-readable line with every knob + both numbers.
+
+Modes: static (one fixed batch), continuous (dense-cache slot pool),
+paged (page-pool KV, serving scale — slots up to max_num_seqs=256).
+
+Usage:
+  python -m scripts.bench_embed_engine --mode paged --slots 64 --n 256
+  python -m scripts.bench_embed_engine --mode continuous --batch 16
 """
 
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -18,15 +35,20 @@ import numpy as np  # noqa: E402
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=16,
+                        help="static batch size / dense slot count")
+    parser.add_argument("--slots", type=int, default=0,
+                        help="decode slot count (default: --batch)")
     parser.add_argument("--max-tokens", type=int, default=256)
     parser.add_argument("--image-size", type=int, default=448)
     parser.add_argument("--iters", type=int, default=3)
-    parser.add_argument("--mode", choices=["static", "continuous"],
+    parser.add_argument("--mode", choices=["static", "continuous", "paged"],
                         default="static")
     parser.add_argument("--n", type=int, default=0,
-                        help="request count for continuous mode "
-                             "(default 4x batch)")
+                        help="request count for continuous/paged mode "
+                             "(default 4x slots)")
+    parser.add_argument("--page-size", type=int, default=64)
+    parser.add_argument("--chunk", type=int, default=32)
     parser.add_argument("--quant", choices=["none", "int8", "w8a8"],
                         default="none",
                         help="frozen-weight quantization of the LM stack "
@@ -42,6 +64,8 @@ def main():
                              "caption workload finishes at EOS well before "
                              "max_tokens; random weights never sample EOS, "
                              "so lengths are emulated via the stop hook)")
+    parser.add_argument("--json", type=str, default="",
+                        help="append one JSON result line to this file")
     args = parser.parse_args()
 
     import jax
@@ -76,59 +100,84 @@ def main():
     )["params"])(rng)
 
     tok = FakeTokenizer()
+    slots = args.slots or args.batch
     engine = EmbedEngine(
         cfg, {"vision": vp, "lm": lp}, tok,
         max_prompt_len=1024, max_tokens=args.max_tokens, min_tokens=1,
         temperature=0.6, top_p=0.9, ignore_eos=True, eos_ids=[],
         min_pixels=56 * 56, max_pixels=1280 * 28 * 28,
+        max_num_seqs=max(slots, 16), kv_page_size=args.page_size,
     )
     rs = np.random.RandomState(0)
     imgs = [Image.fromarray(
         (rs.rand(args.image_size, args.image_size, 3) * 255).astype("uint8"))
-        for _ in range(args.batch)]
-    batch = {"images": imgs,
-             "answers": ["Describe the image concisely."] * args.batch}
+        for _ in range(min(args.batch, 16))]
 
-    if args.mode == "continuous":
-        n = args.n or args.batch * 4
+    iter_times = []
+    if args.mode in ("continuous", "paged"):
+        n = args.n or slots * 4
         lengths = np.clip(rs.normal(args.mean_len, args.mean_len // 2, n)
                           .astype(int), 8, args.max_tokens)
         engine.ignore_eos = False
         engine.eos_ids = [2]
         engine.stop_fn = lambda req, toks: len(toks) >= lengths[req]
-        imgs_n = [imgs[i % args.batch] for i in range(n)]
+        imgs_n = [imgs[i % len(imgs)] for i in range(n)]
         req = {"images": imgs_n,
                "answers": ["Describe the image concisely."] * n}
-        print(f"continuous: n={n} slots={args.batch} emulated mean len "
-              f"{lengths.mean():.0f} / max {args.max_tokens}")
+        paged = args.mode == "paged"
+        print(f"{args.mode}: n={n} slots={slots} page={args.page_size} "
+              f"emulated mean len {lengths.mean():.0f} / {args.max_tokens}")
         t0 = time.perf_counter()
-        result = engine.generate_many(req, seed=0, slots=args.batch)
-        dt0 = time.perf_counter() - t0
-        print(f"first pass (compile+run): {dt0:.1f}s")
-        t0 = time.perf_counter()
+        result = engine.generate_many(req, seed=0, slots=slots,
+                                      chunk=args.chunk, paged=paged)
+        print(f"first pass (compile+run): {time.perf_counter() - t0:.1f}s")
         for i in range(args.iters):
-            result = engine.generate_many(req, seed=i + 1, slots=args.batch)
-        dt = (time.perf_counter() - t0) / args.iters / (n / args.batch)
-        n_tokens = sum(len(t) for t in result.output_token_ids) \
-            * args.batch // n
-        args_batch = args.batch
-        print(f"continuous {n} reqs: {dt * n / args.batch:.2f} s total -> "
-              f"{n / (dt * n / args.batch):.2f} imgs/s")
+            t0 = time.perf_counter()
+            result = engine.generate_many(req, seed=i + 1, slots=slots,
+                                          chunk=args.chunk, paged=paged)
+            iter_times.append(time.perf_counter() - t0)
+        n_tokens = sum(len(t) for t in result.output_token_ids)
+        per_batch = n
     else:
+        batch = {"images": imgs[:args.batch] * (args.batch // len(imgs) or 1),
+                 "answers": ["Describe the image concisely."] * args.batch}
+        batch["images"] = [imgs[i % len(imgs)] for i in range(args.batch)]
         print("compiling (first batch)...")
         t0 = time.perf_counter()
         result = engine.generate(batch, seed=0)
         print(f"first batch (compile+run): {time.perf_counter() - t0:.1f}s, "
               f"gen len {len(result.output_token_ids[0])}")
-
-        t0 = time.perf_counter()
         for i in range(args.iters):
+            t0 = time.perf_counter()
             result = engine.generate(batch, seed=i + 1)
-        dt = (time.perf_counter() - t0) / args.iters
+            iter_times.append(time.perf_counter() - t0)
         n_tokens = sum(len(t) for t in result.output_token_ids)
-    print(f"batch {args.batch}: {dt:.2f} s/batch -> "
-          f"{args.batch / dt:.2f} imgs/s, "
-          f"{n_tokens / dt:.0f} gen tok/s")
+        per_batch = args.batch
+
+    med = float(np.median(iter_times))
+    best = float(np.min(iter_times))
+    print(f"iters: {['%.2f' % t for t in iter_times]} s")
+    print(f"median: {med:.2f} s -> {per_batch / med:.2f} imgs/s, "
+          f"{n_tokens / med:.0f} gen tok/s")
+    print(f"best (quiet window): {best:.2f} s -> {per_batch / best:.2f} "
+          f"imgs/s, {n_tokens / best:.0f} gen tok/s")
+    record = {
+        "bench": "embed_engine", "mode": args.mode, "slots": slots,
+        "n": per_batch, "max_tokens": args.max_tokens,
+        "image_size": args.image_size, "quant": args.quant,
+        "fused": fused, "page_size": args.page_size,
+        "chunk": args.chunk, "mean_len": args.mean_len,
+        "iters_s": [round(t, 3) for t in iter_times],
+        "imgs_per_s_median": round(per_batch / med, 3),
+        "imgs_per_s_best": round(per_batch / best, 3),
+        "gen_tok_per_s_median": round(n_tokens / med, 1),
+        "gen_tok_per_s_best": round(n_tokens / best, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(record))
+    if args.json:
+        with open(args.json, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
 
 if __name__ == "__main__":

@@ -253,3 +253,43 @@ def test_generate_many_matches_generate_semantics():
     for i in range(3):
         np.testing.assert_allclose(
             a.hidden_states[i], b.hidden_states[i], atol=1e-5)
+
+
+def test_generate_many_paged_matches_dense():
+    """The paged-KV scheduler must reproduce the dense-cache scheduler
+    exactly (same seeds, greedy): same tokens, same hidden states. This is
+    the engine-level proof that page commit/update/attention are lossless."""
+    engine = make_engine(max_tokens=12, min_tokens=2, temperature=0.0)
+    engine.kv_page_size = 8
+    prompts = [f"describe thing number {i} " + "pad " * (i % 5)
+               for i in range(9)]
+    dense = engine.generate_many(
+        {"prompts": prompts}, seed=3, slots=3, chunk=4, paged=False)
+    paged = engine.generate_many(
+        {"prompts": prompts}, seed=3, slots=3, chunk=4, paged=True)
+    assert dense.output_token_ids == paged.output_token_ids
+    for i in range(9):
+        np.testing.assert_allclose(
+            dense.hidden_states[i], paged.hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            dense.prompt_hidden_states[i], paged.prompt_hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+
+
+def test_generate_many_paged_contract_large_slots():
+    """Paged mode at slots >= n (single fill, no refill) and with sampling:
+    the GenerationResult contract holds (EOS trim, min_tokens, alignment)."""
+    engine = make_engine(max_tokens=10, min_tokens=2)
+    engine.kv_page_size = 8
+    prompts = [f"item {i}" for i in range(5)]
+    res = engine.generate_many(
+        {"prompts": prompts}, seed=1, slots=5, chunk=4, paged=True)
+    assert len(res.texts) == 5
+    for i in range(5):
+        toks = res.output_token_ids[i]
+        assert 2 <= len(toks) <= 10
+        assert res.hidden_states[i].shape[0] == len(toks)
+        for j, t in enumerate(toks[:-1]):
+            assert not (t in engine.eos_ids and j >= 1), (i, toks)
+        assert f"item {i}" in res.input_prompts[i]

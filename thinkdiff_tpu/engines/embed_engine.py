@@ -150,7 +150,8 @@ class EmbedEngine:
                  ignore_eos: bool = False, eos_ids: Sequence[int] = (),
                  system_prompt: str = DEFAULT_SYSTEM,
                  min_pixels: int = 56 * 56, max_pixels: int = 12845056,
-                 limit_images_per_prompt: Optional[int] = None, mesh=None):
+                 limit_images_per_prompt: Optional[int] = None, mesh=None,
+                 max_num_seqs: int = 16, kv_page_size: int = 64):
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -173,6 +174,11 @@ class EmbedEngine:
         self.min_pixels = min_pixels
         self.max_pixels = max_pixels
         self.limit_images_per_prompt = limit_images_per_prompt
+        # scheduler scale: the reference serves max_num_seqs: 256 through
+        # vLLM (configs/qwen2_vl_embed_ccsbu.yaml:30); above ~32 slots the
+        # engine switches to the paged KV pool (ops/paged_attention.py)
+        self.max_num_seqs = max_num_seqs
+        self.kv_page_size = kv_page_size
         self.vision = Qwen2VisionTower(cfg.vision)
         self.lm = Qwen2VLModel(cfg)
         self._prefill_fn = None
@@ -247,6 +253,9 @@ class EmbedEngine:
             ignore_eos=bool(vcfg.get("ignore_eos", False)),
             eos_ids=eos,
             limit_images_per_prompt=limit_mm,
+            max_num_seqs=int(vcfg.get("max_num_seqs", 16)),
+            kv_page_size=int(vcfg.get("kv_page_size",
+                                      vcfg.get("block_size", 64))),
         )
 
     # -- prompt building ----------------------------------------------------
@@ -674,10 +683,85 @@ class EmbedEngine:
             self._scatter_fn = scatter
         return self._scatter_fn
 
+    def _get_paged_chunk_fn(self, chunk: int, min_tokens: int,
+                            temperature: float, top_p: float):
+        """K-step decode scan over the paged KV pool. One compiled fn per
+        sampling config (the page table carries per-slot extents, so no
+        per-window retraces like the dense path)."""
+        if not hasattr(self, "_paged_chunk_fns"):
+            self._paged_chunk_fns = {}
+        key = (chunk, min_tokens, temperature, top_p)
+        if key in self._paged_chunk_fns:
+            return self._paged_chunk_fns[key]
+        eos_arr = jnp.asarray(self.eos_ids if self.eos_ids else [-1], jnp.int32)
+        ignore_eos = self.ignore_eos
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def chunk_decode(params, pools, page_table, tokens, cache_len, pos,
+                         gen_count, rng):
+            def step(carry, i):
+                pools, tokens, cache_len, pos, gen_count, rng = carry
+                rng, sub = jax.random.split(rng)
+                pos3 = jnp.broadcast_to(pos[None, :, None], (3, pos.shape[0], 1))
+                _, hidden, pools = self.lm.apply(
+                    {"params": params}, input_ids=tokens[:, None],
+                    position_ids=pos3, caches=pools, cache_len=cache_len,
+                    compute_logits=False, page_table=page_table,
+                )
+                logits_last = self.lm.apply(
+                    {"params": params}, hidden[:, 0], method=self.lm.logits
+                )
+                if not ignore_eos:
+                    block = (gen_count < min_tokens - 1)[:, None]
+                    logits_last = jnp.where(
+                        jnp.logical_and(
+                            block,
+                            jnp.isin(jnp.arange(logits_last.shape[-1]),
+                                     eos_arr)[None]),
+                        -jnp.inf, logits_last.astype(jnp.float32))
+                nxt = sample_logits(sub, logits_last, temperature, top_p)
+                return ((pools, nxt, cache_len + 1, pos + 1,
+                         gen_count + 1, rng),
+                        (nxt, hidden[:, 0].astype(jnp.bfloat16)))
+
+            init = (pools, tokens, cache_len, pos, gen_count, rng)
+            (pools, tokens, cache_len, pos, gen_count, rng), \
+                (out_tokens, out_hidden) = jax.lax.scan(
+                    step, init, jnp.arange(chunk))
+            return (pools, tokens, cache_len, pos, gen_count,
+                    out_tokens.T, out_hidden.transpose(1, 0, 2))
+
+        self._paged_chunk_fns[key] = chunk_decode
+        return chunk_decode
+
+    def _get_commit_fn(self):
+        """Scatter dense prefill caches into the page pools (all layers)."""
+        if getattr(self, "_commit_fn", None) is None:
+            from thinkdiff_tpu.ops.paged_attention import commit_pages
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def commit(pools, dense, rows):
+                return jax.tree.map(
+                    lambda p, d: commit_pages(p, d, rows), pools, dense)
+
+            self._commit_fn = commit
+        return self._commit_fn
+
+    @staticmethod
+    def _page_rows(table_np, slot_ids, prompt_lens, pad_to, page):
+        """Destination page ids for commit_pages: (m * pad_to//page,) —
+        page-rows beyond a prompt's page count go to the trash page 0."""
+        rows = []
+        for j, si in enumerate(slot_ids):
+            npg = -(-prompt_lens[j] // page)
+            for k in range(pad_to // page):
+                rows.append(int(table_np[si, k]) if k < npg else 0)
+        return np.asarray(rows, np.int32)
+
     def generate_many(self, samples: Dict[str, Any],
                       max_new_tokens: Optional[int] = None, seed: int = 0,
-                      slots: Optional[int] = None, chunk: int = 32
-                      ) -> GenerationResult:
+                      slots: Optional[int] = None, chunk: int = 32,
+                      paged: Optional[bool] = None) -> GenerationResult:
         """Continuous batching over an arbitrary request list (the scheduler
         role vLLM plays for the reference — thinkdiff/models/
         mllama_vllm_generate_1.py:382-413): a fixed pool of `slots` decode
@@ -689,8 +773,14 @@ class EmbedEngine:
         texts = samples.get("answers") or samples.get("prompts")
         n = len(texts)
         max_tokens = int(max_new_tokens or self.max_tokens)
-        slots = int(slots or min(n, 16))
-        if n <= slots or max_tokens <= chunk or self.ignore_eos:
+        slots = int(slots or min(n, self.max_num_seqs))
+        if paged is None:
+            # above ~32 lanes a dense per-slot cache (global prompt bucket +
+            # max_tokens each) stops fitting; the paged pool holds only
+            # ceil(len/page) pages per live sequence
+            paged = slots > 32
+        slots = min(slots, n)
+        if not paged and (n <= slots or max_tokens <= chunk or self.ignore_eos):
             # static batching is optimal when nothing can finish early
             return self.generate(samples, max_new_tokens=max_new_tokens,
                                  seed=seed)
@@ -713,13 +803,53 @@ class EmbedEngine:
         # until the boundary
         cache_size = prompt_bucket + max_tokens + chunk
 
+        page = self.kv_page_size
+        if paged:
+            assert page <= 64 and 64 % page == 0, (
+                "kv_page_size must divide the 64-token minimum prompt bucket")
+            hd, hkv = self.cfg.head_dim, self.cfg.num_kv_heads
+            # worst-case pages a request can ever hold (its OWN prompt, not
+            # the global bucket — the memory win over the dense cache)
+            need = [-(-(len(p["ids"]) + max_tokens + chunk) // page)
+                    for p in prepared]
+            mp = max(need)
+            # requests are admitted longest-first, so the initial fill is
+            # the worst-case concurrent set: pool = sum of the S largest
+            # (+1 for the trash page) and refills can never run dry
+            pool_pages = 1 + sum(sorted(need, reverse=True)[:slots])
+            free = list(range(pool_pages - 1, 0, -1))
+            table_np = np.zeros((slots, mp), np.int32)
+            slot_pages: List[List[int]] = [[] for _ in range(slots)]
+            pools = [
+                (jnp.zeros((pool_pages, hkv, page, hd), self.cfg.dtype),
+                 jnp.zeros((pool_pages, hkv, page, hd), self.cfg.dtype))
+                for _ in range(self.cfg.num_layers)
+            ]
+
         # ---- initial fill ----
         first_batch = [prepared[queue.pop(0)] for _ in range(slots)]
         slot_req = [order[i] for i in range(slots)]
         rng, sub = jax.random.split(rng)
         _tp0 = _time.perf_counter()
-        first, hidden, caches, prompt_lens, last_idx, start_pos = \
-            self._prefill(first_batch, max_tokens, sub, cache_size=cache_size)
+        if paged:
+            pad_to = min(1 << max(6, (max(len(p["ids"]) for p in first_batch)
+                                      - 1).bit_length()),
+                         self.max_prompt_len)
+            first, hidden, dense_caches, prompt_lens, last_idx, start_pos = \
+                self._prefill(first_batch, max_tokens, sub, cache_size=pad_to)
+            for si in range(slots):
+                k = need[slot_req[si]]
+                slot_pages[si] = [free.pop() for _ in range(k)]
+                table_np[si, :k] = slot_pages[si]
+            rows = self._page_rows(table_np, range(slots), prompt_lens,
+                                   pad_to, page)
+            pools = self._get_commit_fn()(pools, dense_caches,
+                                          jnp.asarray(rows))
+            table_dev = jnp.asarray(table_np)
+        else:
+            first, hidden, caches, prompt_lens, last_idx, start_pos = \
+                self._prefill(first_batch, max_tokens, sub,
+                              cache_size=cache_size)
         t_first = _time.perf_counter() - _tp0
 
         results: Dict[int, Tuple] = {}
@@ -757,16 +887,25 @@ class EmbedEngine:
         t_decode = t_sync = t_refill = 0.0
         n_chunks = 0
         while slot_active.any():
-            max_len = int(np.asarray(cache_len)[slot_active].max()) + chunk
-            window = min(-(-max_len // 256) * 256, cache_size)
-            fn = self._get_chunk_decode_fn(
-                chunk, self.min_tokens, self.temperature, self.top_p, window)
             rng, sub = jax.random.split(rng)
             _t0 = _time.perf_counter()
-            (caches, tokens_dev, cache_len, pos, gen_count,
-             chunk_tokens, chunk_hidden) = fn(
-                self.params["lm"], caches, tokens_dev, cache_len, pos,
-                gen_count, sub)
+            if paged:
+                fn = self._get_paged_chunk_fn(
+                    chunk, self.min_tokens, self.temperature, self.top_p)
+                (pools, tokens_dev, cache_len, pos, gen_count,
+                 chunk_tokens, chunk_hidden) = fn(
+                    self.params["lm"], pools, table_dev, tokens_dev,
+                    cache_len, pos, gen_count, sub)
+            else:
+                max_len = int(np.asarray(cache_len)[slot_active].max()) + chunk
+                window = min(-(-max_len // 256) * 256, cache_size)
+                fn = self._get_chunk_decode_fn(
+                    chunk, self.min_tokens, self.temperature, self.top_p,
+                    window)
+                (caches, tokens_dev, cache_len, pos, gen_count,
+                 chunk_tokens, chunk_hidden) = fn(
+                    self.params["lm"], caches, tokens_dev, cache_len, pos,
+                    gen_count, sub)
             _t1 = _time.perf_counter()
             chunk_tokens = np.asarray(chunk_tokens)          # (S, chunk)
             chunk_hidden = np.asarray(chunk_hidden).astype(np.float32)
@@ -811,11 +950,33 @@ class EmbedEngine:
                 if refill:
                     rng, sub = jax.random.split(rng)
                     _t0 = _time.perf_counter()
-                    (r_first, r_hidden, r_caches, r_lens, r_last, r_start) = \
-                        self._prefill(refill, max_tokens, sub,
-                                      cache_size=cache_size)
+                    if paged:
+                        r_pad = min(1 << max(6, (max(len(p["ids"])
+                                                     for p in refill)
+                                                 - 1).bit_length()),
+                                    self.max_prompt_len)
+                        (r_first, r_hidden, r_caches, r_lens, r_last,
+                         r_start) = self._prefill(refill, max_tokens, sub,
+                                                  cache_size=r_pad)
+                        for j, si in enumerate(refill_slots):
+                            free.extend(slot_pages[si])
+                            k = need[slot_req[si]]
+                            slot_pages[si] = [free.pop() for _ in range(k)]
+                            table_np[si, :] = 0
+                            table_np[si, :k] = slot_pages[si]
+                        rows = self._page_rows(table_np, refill_slots,
+                                               r_lens, r_pad, page)
+                        pools = self._get_commit_fn()(pools, r_caches,
+                                                      jnp.asarray(rows))
+                        table_dev = jnp.asarray(table_np)
+                    else:
+                        (r_first, r_hidden, r_caches, r_lens, r_last,
+                         r_start) = self._prefill(refill, max_tokens, sub,
+                                                  cache_size=cache_size)
+                        sl_sc = jnp.asarray(refill_slots, jnp.int32)
+                        caches = self._get_scatter_fn()(caches, sl_sc,
+                                                        r_caches)
                     sl = jnp.asarray(refill_slots, jnp.int32)
-                    caches = self._get_scatter_fn()(caches, sl, r_caches)
                     tokens_dev = tokens_dev.at[sl].set(r_first)
                     cache_len = cache_len.at[sl].set(
                         jnp.asarray(r_lens, jnp.int32))

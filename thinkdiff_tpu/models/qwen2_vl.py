@@ -226,7 +226,7 @@ class Qwen2Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, mask=None, cache=None, cache_len=None,
-                 attn_window=None):
+                 attn_window=None, page_table=None):
         """x: (B, T, D); cos/sin: (B, T, hd/2) M-RoPE tables.
 
         Without cache: causal self attention (prefill/training).
@@ -234,6 +234,9 @@ class Qwen2Attention(nn.Module):
         entries at cache_len, attend over the valid prefix. ``attn_window``
         (STATIC int) bounds the cache region read by attention — the
         length-aware decode path: short contexts read W bytes, not S.
+        With ``page_table`` (B, MP): cache is a (k_pool, v_pool) page pool
+        (P, Hkv, PAGE, hd) shared across slots — serving-scale decode
+        (T must be 1); per-slot early exit replaces attn_window.
         Returns (out, new_cache).
         """
         cfg = self.cfg
@@ -265,6 +268,18 @@ class Qwen2Attention(nn.Module):
                 bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
             out = flash_attention(q, k, v, bias, None, True, hd ** -0.5)
             new_cache = None
+        elif page_table is not None:
+            from thinkdiff_tpu.ops.paged_attention import (
+                paged_attention, paged_update_kv)
+
+            assert t == 1, "paged decode is single-token"
+            k_pool, v_pool = cache
+            k_pool, v_pool = paged_update_kv(
+                k_pool, v_pool, k, v, page_table, cache_len)
+            out = paged_attention(
+                q[:, :, 0], k_pool, v_pool, page_table, cache_len + 1
+            )[:, :, None]
+            new_cache = (k_pool, v_pool)
         else:
             k_cache, v_cache = cache
             k_cache, v_cache, _ = update_kv_cache(k_cache, v_cache, k, v, cache_len)
@@ -285,13 +300,13 @@ class Qwen2Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, mask=None, cache=None, cache_len=None,
-                 attn_window=None):
+                 attn_window=None, page_table=None):
         cfg = self.cfg
         norm = lambda name: RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
                                     cfg.dtype, name=name)
         h, new_cache = Qwen2Attention(cfg, name="self_attn")(
             norm("input_norm")(x), cos, sin, mask, cache, cache_len,
-            attn_window
+            attn_window, page_table
         )
         x = x + h
         from thinkdiff_tpu.models.t5 import QDense
@@ -325,7 +340,8 @@ class Qwen2Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_embeds, position_ids, mask=None,
-                 caches=None, cache_len=None, attn_window=None):
+                 caches=None, cache_len=None, attn_window=None,
+                 page_table=None):
         """input_embeds (B, T, D); position_ids (3, B, T) for M-RoPE.
 
         Returns (logits, norm_hidden, new_caches) where norm_hidden is the
@@ -339,7 +355,8 @@ class Qwen2Decoder(nn.Module):
         for i in range(cfg.num_layers):
             layer_cache = caches[i] if caches is not None else None
             x, nc = Qwen2Block(cfg, name=f"layer_{i}")(
-                x, cos, sin, mask, layer_cache, cache_len, attn_window
+                x, cos, sin, mask, layer_cache, cache_len, attn_window,
+                page_table
             )
             new_caches.append(nc)
         hidden = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.dtype,
@@ -375,7 +392,7 @@ class Qwen2VLModel(nn.Module):
     def __call__(self, input_ids=None, input_embeds=None, position_ids=None,
                  mask=None, caches=None, cache_len=None,
                  image_embeds=None, image_mask=None, compute_logits=True,
-                 attn_window=None):
+                 attn_window=None, page_table=None):
         """image_embeds (B, T, D) scattered into positions where
         image_mask (B, T) is 1 (vision tokens replace their placeholder
         embeddings, HF semantics). ``compute_logits=False`` skips the
@@ -388,7 +405,8 @@ class Qwen2VLModel(nn.Module):
                 image_embeds.astype(input_embeds.dtype), input_embeds,
             )
         hidden, new_caches = self.decoder(
-            input_embeds, position_ids, mask, caches, cache_len, attn_window
+            input_embeds, position_ids, mask, caches, cache_len, attn_window,
+            page_table
         )
         logits = self.logits(hidden) if compute_logits else None
         return logits, hidden, new_caches
