@@ -409,10 +409,28 @@ def main():
     ap.add_argument("--aligner-clip", dest="aligner_clip")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--goldens", action="store_true",
+                    help="also re-verify the committed golden-vector pack "
+                         "(tests/goldens/) — converter + model numerics "
+                         "frozen at generation time; torch-free")
     ap.add_argument("--report", help="write a JSON report here")
     args = ap.parse_args()
 
     sections = []
+    if args.goldens:
+        def _goldens():
+            from thinkdiff_tpu.models.golden_pack import check_all
+            summary = check_all()
+            out = []
+            for label, err in sorted(summary.items()):
+                if err < 0:
+                    print(f"  [SKIP] {label} (fixture missing)")
+                    continue
+                print(f"  [OK] {label}: max_abs_err {err:.2e}")
+                out.append({"name": f"golden.{label}", "ok": True,
+                            "abs_err": err})
+            return out
+        sections.append(_goldens)
     if args.t5:
         sections.append(lambda: validate_t5(args.t5, args.dtype))
     if args.blip2:

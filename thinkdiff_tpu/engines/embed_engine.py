@@ -42,6 +42,23 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 DEFAULT_SYSTEM = "You are a helpful assistant."
 
 
+def render_chat_prompt(system_prompt: str, text: str, n_images: int) -> str:
+    """Qwen2-VL chat template string for one user turn with ``n_images``
+    leading images — MUST byte-match HF ``tokenizer.apply_chat_template``
+    (tested in tests/test_goldens.py against real tokenizer files when
+    available) because the reference's vLLM fork tokenizes exactly this
+    (mllama_vllm_generate_1.py:382-417) and the aligner's
+    ``input_no_system`` offset arithmetic counts tokens of this rendering."""
+    vision_parts = "".join(
+        "<|vision_start|><|image_pad|><|vision_end|>" for _ in range(n_images)
+    )
+    return (
+        f"<|im_start|>system\n{system_prompt}<|im_end|>\n"
+        f"<|im_start|>user\n{vision_parts}{text}<|im_end|>\n"
+        f"<|im_start|>assistant\n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side image preprocessing (HF Qwen2VLImageProcessor semantics)
 # ---------------------------------------------------------------------------
@@ -272,15 +289,7 @@ class EmbedEngine:
                      image_token_counts: Sequence[int]) -> Tuple[str, List[int]]:
         """Qwen2-VL chat template with expanded image pads. Returns
         (prompt_text, token_ids)."""
-        vision_parts = "".join(
-            "<|vision_start|><|image_pad|><|vision_end|>"
-            for _ in range(n_images)
-        )
-        prompt = (
-            f"<|im_start|>system\n{self.system_prompt}<|im_end|>\n"
-            f"<|im_start|>user\n{vision_parts}{text}<|im_end|>\n"
-            f"<|im_start|>assistant\n"
-        )
+        prompt = render_chat_prompt(self.system_prompt, text, n_images)
         ids = self.tokenizer.encode(prompt, add_special_tokens=False)
         # expand each <|image_pad|> to its per-image token count
         pad_id = self.cfg.image_token_id
