@@ -168,7 +168,8 @@ class EmbedEngine:
                  system_prompt: str = DEFAULT_SYSTEM,
                  min_pixels: int = 56 * 56, max_pixels: int = 12845056,
                  limit_images_per_prompt: Optional[int] = None, mesh=None,
-                 max_num_seqs: int = 16, kv_page_size: int = 64):
+                 max_num_seqs: int = 16, kv_page_size: int = 64,
+                 vision_batch: int = 32):
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -196,6 +197,7 @@ class EmbedEngine:
         # engine switches to the paged KV pool (ops/paged_attention.py)
         self.max_num_seqs = max_num_seqs
         self.kv_page_size = kv_page_size
+        self.vision_batch = max(1, int(vision_batch))
         self.vision = Qwen2VisionTower(cfg.vision)
         self.lm = Qwen2VLModel(cfg)
         self._prefill_fn = None
@@ -273,6 +275,7 @@ class EmbedEngine:
             max_num_seqs=int(vcfg.get("max_num_seqs", 16)),
             kv_page_size=int(vcfg.get("kv_page_size",
                                       vcfg.get("block_size", 64))),
+            vision_batch=int(vcfg.get("vision_batch", 32)),
         )
 
     # -- prompt building ----------------------------------------------------
@@ -462,25 +465,33 @@ class EmbedEngine:
                 groups.setdefault(tuple(g), []).append(i)
 
             for grid, idxs in groups.items():
-                _t0 = _time.perf_counter()
                 pos_hw = vision_rot_pos_emb(np.asarray([grid], np.int64), merge)
                 cos, sin = vision_cos_sin(pos_hw, self.cfg.vision.head_dim)
-                # f32 upload + device-side bf16 cast: doubles the bytes but
-                # the host ml_dtypes cast is ~10x slower than the tunnel
-                batch_patches = np.stack([all_patches[i] for i in idxs])
-                _t1 = _time.perf_counter()
-                embeds = self._get_vision_fn()(
-                    self.params["vision"], jnp.asarray(batch_patches),
-                    jnp.asarray(cos), jnp.asarray(sin), None,
-                )
-                embeds = np.asarray(embeds)  # (B, S/m^2, hidden), model dtype
-                _t2 = _time.perf_counter()
-                if dbg:
-                    logger.warning(
-                        "vision group %s x%d: host-pack %.2fs run+sync %.2fs",
-                        grid, len(idxs), _t1 - _t0, _t2 - _t1)
-                for j, i in enumerate(idxs):
-                    image_embeds_list[i] = embeds[j]
+                # Cap images per vision launch: at serving request counts
+                # (generate_many n=256) one unchunked call OOMs HBM on a
+                # single v5e (256 x 1024-patch activations); chunking also
+                # keeps one static compiled shape warm across refills.
+                for lo in range(0, len(idxs), self.vision_batch):
+                    part = idxs[lo: lo + self.vision_batch]
+                    _t0 = _time.perf_counter()
+                    # f32 upload + device-side bf16 cast: doubles the bytes
+                    # but the host ml_dtypes cast is ~10x slower than the
+                    # tunnel
+                    batch_patches = np.stack([all_patches[i] for i in part])
+                    _t1 = _time.perf_counter()
+                    embeds = self._get_vision_fn()(
+                        self.params["vision"], jnp.asarray(batch_patches),
+                        jnp.asarray(cos), jnp.asarray(sin), None,
+                    )
+                    embeds = np.asarray(embeds)  # (B, S/m^2, hidden)
+                    _t2 = _time.perf_counter()
+                    if dbg:
+                        logger.warning(
+                            "vision group %s x%d: host-pack %.2fs "
+                            "run+sync %.2fs",
+                            grid, len(part), _t1 - _t0, _t2 - _t1)
+                    for j, i in enumerate(part):
+                        image_embeds_list[i] = embeds[j]
 
         prepared = []
         img_i = 0

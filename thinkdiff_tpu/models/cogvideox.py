@@ -52,6 +52,11 @@ class CogVideoXConfig:
     rope_theta: float = 10000.0
     max_text_len: int = 226
     dtype: Any = jnp.float32
+    # False | True/"int8" (weight-only) | "w8a8" — same frozen-weight
+    # quantization modes as FLUX (models/flux.py); 5b bf16 weights (~11 GiB)
+    # leave no activation headroom at the 49-frame 480p operating point on a
+    # 16 GiB v5e, int8 halves them (see scripts/bench_cogvideo.py)
+    quant_int8: Any = False
 
     @property
     def head_dim(self):
@@ -97,8 +102,9 @@ class CogVideoXBlock(nn.Module):
     def __call__(self, txt, vid, temb, cos, sin):
         cfg = self.cfg
         d, h, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
-        dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
-                                            param_dtype=cfg.dtype)
+        from thinkdiff_tpu.models.t5 import QDense
+        dense = lambda feat, name: QDense(feat, name=name, dtype=cfg.dtype,
+                                          quant=cfg.quant_int8, use_bias=True)
         # CogVideoXLayerNormZero: ONE shared affine LayerNorm normalizes both
         # streams; the 6-way modulation is chunked VIDEO-first
         # (shift/scale/gate for video, then the same for text).
@@ -159,8 +165,9 @@ class CogVideoXTransformer(nn.Module):
         cfg = self.cfg
         b, t, hgt, wdt, c = latents.shape
         p = cfg.patch_size
-        dense = lambda feat, name: nn.Dense(feat, name=name, dtype=cfg.dtype,
-                                            param_dtype=cfg.dtype)
+        from thinkdiff_tpu.models.t5 import QDense
+        dense = lambda feat, name: QDense(feat, name=name, dtype=cfg.dtype,
+                                          quant=cfg.quant_int8, use_bias=True)
         # patchify (p x p spatial)
         x = latents.reshape(b, t, hgt // p, p, wdt // p, p, c)
         x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(

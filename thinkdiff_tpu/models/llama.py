@@ -36,20 +36,50 @@ def llama_config(vocab_size=32000, hidden_size=4096, intermediate_size=11008,
 
 
 class LlamaForCausalLM:
-    """Functional wrapper with the reference's ``reduction`` semantics."""
+    """Functional wrapper with the reference's ``reduction`` semantics.
 
-    def __init__(self, cfg: Qwen2VLConfig, params):
+    ``lora_r > 0`` reproduces BaseModel.init_llm's peft path (reference
+    base_model.py:190-201): rank-r adapters on ``lora_target_modules``
+    become the ONLY trainable subtree (``trainable_params``); the base tree
+    stays frozen and the merge happens functionally inside the forward
+    (models/lora.py)."""
+
+    def __init__(self, cfg: Qwen2VLConfig, params, *, lora_r: int = 0,
+                 lora_target_modules=("q_proj", "v_proj"),
+                 lora_alpha: Optional[float] = None, lora_rng=None):
         self.cfg = cfg
         self.params = params
         self.model = Qwen2VLModel(cfg)
+        self.adapters = None
+        self.lora_scale = 1.0
+        if lora_r > 0:
+            from thinkdiff_tpu.models.lora import init_lora, lora_scale
 
-    def __call__(self, input_ids, labels=None, reduction: str = "mean"):
+            self.adapters = init_lora(
+                lora_rng if lora_rng is not None else jax.random.PRNGKey(0),
+                params, lora_r, targets=tuple(lora_target_modules),
+                alpha=lora_alpha)
+            self.lora_scale = lora_scale(lora_r, lora_alpha)
+
+    def trainable_params(self):
+        """peft ``print_trainable_parameters`` analog: adapters or nothing
+        (reference freezes ALL llama params when lora_r == 0)."""
+        return self.adapters if self.adapters is not None else {}
+
+    def __call__(self, input_ids, labels=None, reduction: str = "mean",
+                 adapters=None):
+        adapters = adapters if adapters is not None else self.adapters
+        params = self.params
+        if adapters:
+            from thinkdiff_tpu.models.lora import merge_lora
+
+            params = merge_lora(params, adapters, scale=self.lora_scale)
         t = input_ids.shape[1]
         pos = jnp.broadcast_to(
             jnp.arange(t)[None, None], (3, input_ids.shape[0], t)
         )
         logits, hidden, _ = self.model.apply(
-            {"params": self.params}, input_ids=input_ids, position_ids=pos
+            {"params": params}, input_ids=input_ids, position_ids=pos
         )
         if labels is None:
             return {"logits": logits}
