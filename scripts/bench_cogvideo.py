@@ -95,21 +95,19 @@ def main():
     vae_seconds = None
     if not args.skip_vae:
         from thinkdiff_tpu.models.cogvideox_vae import (
-            CogVideoXVAEConfig, CogVideoXVAEDecoder)
+            CogVideoXVAEConfig, CogVideoXVAEDecoder, decode_latents)
 
         vcfg = CogVideoXVAEConfig.cogvideox_5b()
         dec = CogVideoXVAEDecoder(vcfg)
         z = jnp.asarray(rs.randn(1, lt, lh, lw, vcfg.latent_channels) * 0.1,
                         jnp.bfloat16)
         vparams = device_random_params(dec, (z,))
-        vfn = jax.jit(lambda p, z: dec.apply({"params": p}, z))
+        # decode_latents auto-tiles: monolithic 49f/480p wants 41 GiB HBM
         t0 = time.perf_counter()
-        frames = vfn(vparams, z)
-        float(jnp.sum(frames.astype(jnp.float32)))
+        frames = decode_latents(dec, vparams, z, scaling_factor=1.0)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        frames = vfn(vparams, z)
-        float(jnp.sum(frames.astype(jnp.float32)))
+        frames = decode_latents(dec, vparams, z, scaling_factor=1.0)
         vae_seconds = time.perf_counter() - t0
         print(f"vae decode: compile+first {compile_s:.1f}s, "
               f"steady {vae_seconds:.1f}s, out {frames.shape}",

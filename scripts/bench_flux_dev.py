@@ -32,27 +32,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def device_random_params(model, example_args, seed: int = 0):
     """Materialize the param tree on device: int8 leaves uniform in
-    [-127, 127], float leaves N(0, 0.02). No host->device bulk transfer."""
+    [-127, 127], float leaves N(0, 0.02). No host->device bulk transfer,
+    and ONE jit call for the whole tree — per-leaf jits cost ~1 s of
+    tunnel-compile each, which at 5b scale (~700 leaves) dwarfed the
+    bench itself."""
     import jax
     import jax.numpy as jnp
 
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), *example_args))["params"]
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, len(leaves))
 
-    out = []
-    for k, s in zip(keys, leaves):
-        if jnp.issubdtype(s.dtype, jnp.integer):
-            gen = jax.jit(lambda k, sh=s.shape, dt=s.dtype: jax.random.randint(
-                k, sh, -127, 128, dtype=jnp.int32).astype(dt))
-        else:
-            # small weights keep activations finite through 57 blocks
-            gen = jax.jit(lambda k, sh=s.shape, dt=s.dtype: (
-                jax.random.normal(k, sh, jnp.float32) * 0.02).astype(dt))
-        out.append(gen(k))
-    return jax.tree_util.tree_unflatten(treedef, out)
+    @jax.jit
+    def gen_all(key):
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        for k, s in zip(keys, leaves):
+            if jnp.issubdtype(s.dtype, jnp.integer):
+                out.append(jax.random.randint(
+                    k, s.shape, -127, 128, dtype=jnp.int32).astype(s.dtype))
+            else:
+                # small weights keep activations finite through 57 blocks
+                out.append((jax.random.normal(k, s.shape, jnp.float32)
+                            * 0.02).astype(s.dtype))
+        return out
+
+    return jax.tree_util.tree_unflatten(treedef, gen_all(
+        jax.random.PRNGKey(seed)))
 
 
 def main():

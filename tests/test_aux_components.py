@@ -117,3 +117,65 @@ def test_wandb_optional_dependency(tmp_path):
     if not has_wandb:
         assert init_wandb(cfg, "job") is None
     wandb_log({"loss": 1.0})  # no-op without an active run, must not raise
+
+
+def test_rel_pos_index_matches_bruteforce():
+    """Independent derivation: walk every patch pair and compute its table
+    id from the 2D offset directly (not via the vectorized construction in
+    models/vit.py) — plus the three special cls ids (reference
+    eva_vit.py:92-106)."""
+    from thinkdiff_tpu.models.vit import rel_pos_index
+
+    gh, gw = 3, 4
+    idx, n_dist = rel_pos_index(gh, gw)
+    assert n_dist == (2 * gh - 1) * (2 * gw - 1) + 3
+    n = gh * gw + 1
+    assert idx.shape == (n, n)
+    for i in range(gh * gw):
+        yi, xi = divmod(i, gw)
+        for j in range(gh * gw):
+            yj, xj = divmod(j, gw)
+            expect = ((yi - yj) + gh - 1) * (2 * gw - 1) + ((xi - xj) + gw - 1)
+            assert idx[i + 1, j + 1] == expect, (i, j)
+    assert (idx[0, 1:] == n_dist - 3).all()
+    assert (idx[1:, 0] == n_dist - 2).all()
+    assert idx[0, 0] == n_dist - 1
+    # every id in range, diagonal constant (zero offset maps to one id)
+    assert idx.max() == n_dist - 1 and idx.min() >= 0
+    assert len(set(idx[i + 1, i + 1] for i in range(gh * gw))) == 1
+
+
+def test_vit_rel_pos_bias_forward():
+    """Bias changes the forward; shared vs per-block trees differ; bias-off
+    path is unchanged vs a no-bias model with the same non-bias params."""
+    import jax
+    from thinkdiff_tpu.models.vit import ViTConfig, VisionTransformer
+
+    rs = np.random.RandomState(0)
+    px = jnp.asarray(rs.randn(2, 28, 28, 3).astype(np.float32))
+
+    cfg0 = ViTConfig.tiny()
+    cfg_blk = ViTConfig.tiny(use_rel_pos_bias=True)
+    cfg_sh = ViTConfig.tiny(use_shared_rel_pos_bias=True)
+    m0, mb, ms = (VisionTransformer(c) for c in (cfg0, cfg_blk, cfg_sh))
+    p0 = m0.init(jax.random.PRNGKey(0), px)["params"]
+    pb = mb.init(jax.random.PRNGKey(0), px)["params"]
+    psh = ms.init(jax.random.PRNGKey(0), px)["params"]
+
+    assert "rel_pos_bias" in pb["block_0"] and "rel_pos_bias" in pb["block_1"]
+    assert "rel_pos_bias" in psh and "rel_pos_bias" not in psh["block_0"]
+
+    # zero-init tables => identical output to the plain model (same seed)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p0}, px)),
+        np.asarray(mb.apply({"params": pb}, px)), atol=2e-5, rtol=1e-5)
+
+    # nonzero table must change the output
+    tbl = psh["rel_pos_bias"]["relative_position_bias_table"]
+    psh2 = dict(psh)
+    psh2["rel_pos_bias"] = {
+        "relative_position_bias_table": tbl + 0.3 * jnp.asarray(
+            rs.randn(*tbl.shape).astype(np.float32))}
+    a = np.asarray(ms.apply({"params": psh}, px))
+    c = np.asarray(ms.apply({"params": psh2}, px))
+    assert np.abs(a - c).max() > 1e-4

