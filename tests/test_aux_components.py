@@ -179,3 +179,66 @@ def test_vit_rel_pos_bias_forward():
     a = np.asarray(ms.apply({"params": psh}, px))
     c = np.asarray(ms.apply({"params": psh2}, px))
     assert np.abs(a - c).max() > 1e-4
+
+
+def test_url_and_file_utils(tmp_path):
+    """The common/utils.py:41-273 tail: URL predicates, gdrive transforms,
+    multi-format save/load, cache layout, symlinks — downloads themselves
+    are egress-gated (THINKDIFF_OFFLINE)."""
+    import os
+    import pytest
+    from thinkdiff_tpu.core import utils as U
+
+    assert U.is_url("https://x.y/z.pth") and U.is_url("http://a/b")
+    assert not U.is_url("/local/path.pth") and not U.is_url("gs://bucket/x")
+
+    view = "https://drive.google.com/file/d/137RyRjvTBkBiIfeYB/view"
+    dl = U.to_google_drive_download_url(view)
+    assert dl == ("https://drive.google.com/uc?export=download"
+                  "&id=137RyRjvTBkBiIfeYB")
+    assert U.google_drive_file_id(view) == "137RyRjvTBkBiIfeYB"
+    assert U.google_drive_file_id(dl) == "137RyRjvTBkBiIfeYB"
+    assert U.google_drive_file_id("https://x.y/z") is None
+
+    # save_file/load_file round-trips
+    p = tmp_path / "a.npy"
+    U.save_file(np.arange(5), str(p))
+    assert (U.load_file(str(p)) == np.arange(5)).all()
+    pj = tmp_path / "m.json"
+    U.save_file({"k": 1}, str(pj))
+    U.save_file({"k": 2}, str(pj))  # appends a line
+    lines = open(pj).read().strip().splitlines()
+    assert len(lines) == 2 and json.loads(lines[1]) == {"k": 2}
+    py = tmp_path / "c.yaml"
+    U.save_file({"a": [1, 2]}, str(py))
+    assert U.load_file(str(py)) == {"a": [1, 2]}
+
+    # md5 + presence short-circuit: existing valid file is not re-fetched
+    blob = tmp_path / "root" / "w.bin"
+    os.makedirs(blob.parent)
+    blob.write_bytes(b"hello")
+    import hashlib
+    md5 = hashlib.md5(b"hello").hexdigest()
+    got = U.download_url("https://no.such.host/w.bin", str(blob.parent),
+                         md5=md5)
+    assert got == str(blob)
+
+    # offline gate raises instead of attempting egress
+    os.environ["THINKDIFF_OFFLINE"] = "1"
+    try:
+        with pytest.raises(RuntimeError, match="zero-egress"):
+            U.download_url("https://no.such.host/x.bin", str(tmp_path))
+    finally:
+        os.environ.pop("THINKDIFF_OFFLINE")
+
+    # symlink + size + cleanup
+    link = tmp_path / "latest.bin"
+    U.create_file_symlink(str(blob), str(link))
+    assert link.resolve() == blob
+    U.create_file_symlink(str(pj), str(link))  # replaces
+    assert link.resolve() == pj
+    assert abs(U.get_file_size(str(blob)) - 5 / 1024 / 1024) < 1e-9
+    d = tmp_path / "junk"
+    os.makedirs(d / "sub")
+    U.cleanup_dir(str(d))
+    assert not d.exists()
