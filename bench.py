@@ -86,6 +86,32 @@ def build_batches(rs, n_batches, batch_size, d_vlm, vocab,
     return batches
 
 
+def build_batches_packed(rs, n_batches, rows, enc_cap, dec_cap, d_vlm,
+                         vocab, max_split=128, max_txt=128):
+    """Same workload statistics as build_batches (N(60,25) generations,
+    collator-distribution random split), but packed: multiple samples per
+    row with segment-id attention isolation (data/packing.py). Loss/grad
+    equivalence to the padded layout is exact (tests/test_packing.py);
+    only dead padding is removed. Returns (batches, total_samples)."""
+    from thinkdiff_tpu.data.packing import OnlinePacker
+
+    packer = OnlinePacker(rows=rows, enc_cap=enc_cap, dec_cap=dec_cap)
+    batches, n_samples = [], 0
+    while len(batches) < n_batches:
+        n = int(np.clip(rs.normal(60, 25), 16, 200))
+        split = rs.randint(1, min(n - 1, max_split) + 1)
+        label_len = min(n - split + 1, max_txt)
+        b = packer.add({
+            "embeds": rs.randn(split, d_vlm).astype(np.float32),
+            "label_ids": rs.randint(1, vocab, (label_len,)).astype(np.int32),
+        })
+        if b is not None:
+            batches.append(b)
+            n_samples += int(sum(len(np.unique(r[r > 0]))
+                                 for r in b["dec_segments"]))
+    return batches, n_samples
+
+
 def main():
     import jax
 

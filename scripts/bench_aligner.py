@@ -28,12 +28,17 @@ def main():
                     choices=["none", "int8", "int8_dyn"])
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--n-batches", type=int, default=16)
+    ap.add_argument("--packed", action="store_true",
+                    help="sequence packing: --batch becomes the ROW count; "
+                         "--pack-cap tokens per row on both axes")
+    ap.add_argument("--pack-cap", type=int, default=256)
     args = ap.parse_args()
 
     import jax
     import numpy as np
 
-    from bench import BASELINE_SAMPLES_PER_SEC_PER_A100, build_batches
+    from bench import (BASELINE_SAMPLES_PER_SEC_PER_A100, build_batches,
+                       build_batches_packed)
     from thinkdiff_tpu.core.config import ConfigNode
     from thinkdiff_tpu.engines.trainer import Trainer
     from thinkdiff_tpu.models.aligner_lvlm import MllamaT5EmbedDecoder
@@ -62,8 +67,14 @@ def main():
 
     rs = np.random.RandomState(0)
     n_dev = len(jax.devices())
-    batches = build_batches(
-        rs, args.n_batches, args.batch * n_dev, 3584, t5_over["vocab_size"])
+    if args.packed:
+        batches, n_packed = build_batches_packed(
+            rs, args.n_batches, args.batch * n_dev, args.pack_cap,
+            args.pack_cap, 3584, t5_over["vocab_size"])
+    else:
+        batches = build_batches(
+            rs, args.n_batches, args.batch * n_dev, 3584,
+            t5_over["vocab_size"])
     batches = [trainer.prepare_batch(b) for b in batches]
     rng = jax.random.PRNGKey(0)
 
@@ -80,7 +91,10 @@ def main():
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    n_samples = args.passes * len(batches) * args.batch * n_dev
+    if args.packed:
+        n_samples = args.passes * n_packed
+    else:
+        n_samples = args.passes * len(batches) * args.batch * n_dev
     sps = n_samples / dt / n_dev
     print(json.dumps({
         "metric": "lvlm_aligner_train_samples_per_sec_per_chip",
@@ -88,7 +102,8 @@ def main():
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC_PER_A100, 3),
         "config": {"batch": args.batch, "chunked_ce": args.chunked_ce,
                    "remat_ffn": args.remat_ffn, "fused_proj": args.fused_proj,
-                   "quant": args.quant},
+                   "quant": args.quant, "packed": args.packed,
+                   "pack_cap": args.pack_cap if args.packed else None},
         "compile_s": round(compile_s, 1), "measure_s": round(dt, 1),
     }))
 

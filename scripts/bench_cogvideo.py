@@ -91,6 +91,15 @@ def main():
         out = step(params, *fargs)
     float(jnp.sum(out.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / args.iters
+    print(f"transformer: {dt*1e3:.1f} ms/step", file=sys.stderr)
+
+    # free the 5b tower before the VAE phase — both resident at once OOM a
+    # 16 GiB chip (measured: first VAE tile died with the transformer live)
+    nparams = sum(l.size for l in jax.tree_util.tree_leaves(params)
+                  if l.ndim == 2)
+    for leaf in jax.tree_util.tree_leaves(params):
+        leaf.delete()
+    del params, out
 
     vae_seconds = None
     if not args.skip_vae:
@@ -114,8 +123,7 @@ def main():
               file=sys.stderr)
 
     s_tot = s_vid + args.txt_len
-    p_mat = sum(l.size for l in jax.tree_util.tree_leaves(params)
-                if l.ndim == 2)
+    p_mat = nparams
     # batch-2 forward: 2x matmul flops + per-layer joint attention
     fl = 2 * (2 * p_mat * s_tot) + cfg.num_layers * 2 * 4 * s_tot * s_tot \
         * cfg.hidden_size

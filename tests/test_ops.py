@@ -263,3 +263,109 @@ class TestFlashAttentionBackward:
             np.testing.assert_allclose(
                 np.asarray(gg), np.asarray(ww), atol=2e-4, rtol=1e-3,
                 err_msg=f"d{name}")
+
+
+class TestFlashAttentionSegments:
+    """Sequence-packing (segment-id) masking: Pallas kernels (interpret
+    mode) vs the naive reference, and packed-vs-unpacked equivalence."""
+
+    def _interp(self):
+        import importlib
+        from unittest import mock
+        fa = importlib.import_module("thinkdiff_tpu.ops.flash_attention")
+        real = fa.pl.pallas_call
+
+        def call(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("compiler_params", None)
+            return real(*args, **kwargs)
+
+        return mock.patch.object(fa.pl, "pallas_call", call)
+
+    def _segs(self, b, t, seed, n_seg=3):
+        """Random contiguous segments >= 1, with a zero-padded tail."""
+        rs = np.random.RandomState(seed)
+        out = np.zeros((b, t), np.int32)
+        for i in range(b):
+            cuts = np.sort(rs.choice(np.arange(4, t - 4), n_seg, False))
+            prev, sid = 0, 1
+            for c in list(cuts) + [t - 2]:  # leave 2 pad positions
+                out[i, prev:c] = sid
+                prev, sid = c, sid + 1
+        return jnp.asarray(out)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_forward_matches_reference(self, causal):
+        b, h, t, d = 2, 4, 64, 32
+        q, k, v = (_rand((b, h, t, d), i) for i in range(3))
+        seg = self._segs(b, t, 7)
+        with self._interp():
+            out = _flash_attention_forward(
+                q, k, v, None, None, seg, seg, causal=causal,
+                sm_scale=d ** -0.5, block_q=32, block_k=32)
+        ref = mha_reference(q, k, v, causal=causal, q_segment_ids=seg,
+                            kv_segment_ids=seg)
+        valid = np.asarray(seg)[:, None, :, None] > 0
+        np.testing.assert_allclose(
+            np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5)
+
+    def test_cross_attention_segments(self):
+        """Decoder->encoder packing: distinct q/k lengths and id layouts."""
+        b, h, tq, tk, d = 2, 4, 48, 80, 32
+        q = _rand((b, h, tq, d), 0)
+        k, v = _rand((b, 1, tk, d), 1), _rand((b, 1, tk, d), 2)
+        qseg, kseg = self._segs(b, tq, 3), self._segs(b, tk, 4)
+        with self._interp():
+            out = _flash_attention_forward(
+                q, k, v, None, None, qseg, kseg, causal=False,
+                sm_scale=d ** -0.5, block_q=32, block_k=32)
+        ref = mha_reference(q, k, v, q_segment_ids=qseg, kv_segment_ids=kseg)
+        valid = np.asarray(qseg)[:, None, :, None] > 0
+        np.testing.assert_allclose(
+            np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5)
+
+    def test_packed_equals_unpacked(self):
+        """Two sequences packed into one row reproduce their standalone
+        attention outputs exactly (the invariant packing relies on)."""
+        h, d, t1, t2 = 4, 32, 24, 40
+        q1, k1, v1 = (_rand((1, h, t1, d), i) for i in range(3))
+        q2, k2, v2 = (_rand((1, h, t2, d), i + 3) for i in range(3))
+        qp = jnp.concatenate([q1, q2], axis=2)
+        kp = jnp.concatenate([k1, k2], axis=2)
+        vp = jnp.concatenate([v1, v2], axis=2)
+        seg = jnp.asarray(np.r_[np.ones(t1), 2 * np.ones(t2)],
+                          jnp.int32)[None]
+        for causal in (False, True):
+            packed = mha_reference(qp, kp, vp, causal=causal,
+                                   q_segment_ids=seg, kv_segment_ids=seg)
+            a = mha_reference(q1, k1, v1, causal=causal)
+            bb = mha_reference(q2, k2, v2, causal=causal)
+            np.testing.assert_allclose(np.asarray(packed[:, :, :t1]),
+                                       np.asarray(a), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(packed[:, :, t1:]),
+                                       np.asarray(bb), atol=1e-5)
+
+    def test_backward_matches_reference_with_segments(self):
+        import importlib
+        from unittest import mock
+        fa = importlib.import_module("thinkdiff_tpu.ops.flash_attention")
+        b, h, t, d = 2, 4, 64, 32
+        q, k, v = (_rand((b, h, t, d), i) for i in range(3))
+        seg = self._segs(b, t, 11)
+
+        def loss(q, k, v):
+            out = fa.flash_attention(q, k, v, None, None, True, None,
+                                     32, 32, seg, seg)
+            valid = (seg > 0).astype(out.dtype)[:, None, :, None]
+            return jnp.sum((out * valid).astype(jnp.float32) ** 2)
+
+        with self._interp(), mock.patch.multiple(
+                fa, _use_pallas=lambda q, k: True,
+                _use_pallas_bwd=lambda ql, kl: True):
+            got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        with mock.patch.object(fa, "_use_pallas", lambda q, k: False):
+            want = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for gg, ww, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(ww), atol=2e-4, rtol=1e-3,
+                err_msg=f"d{name}")

@@ -207,6 +207,14 @@ class MllamaT5EmbedDecoder(BaseModel):
         the monolithic head."""
         proj = self.project(trainable, batch["embeds"], rng)
         labels = batch["labels"]
+        # packed rows (data/packing.py) carry explicit decoder inputs —
+        # a global shift_right would leak segment i's last token into
+        # segment i+1's start — plus per-row segment ids for the kernels
+        dec_ids = batch.get("decoder_input_ids")
+        if dec_ids is None:
+            dec_ids = shift_right(labels)
+        dec_seg = batch.get("dec_segments")
+        enc_seg = batch.get("enc_segments")
         chunk = int(self.cfg.get("chunked_ce", 32) or 0)
         if chunk and not self.t5_cfg.tie_word_embeddings:
             from thinkdiff_tpu.ops.chunked_ce import chunked_head_cross_entropy
@@ -214,9 +222,10 @@ class MllamaT5EmbedDecoder(BaseModel):
             hidden = self.t5.apply(
                 {"params": frozen["t5"]},
                 method=self.t5.decode_hidden,
-                decoder_input_ids=shift_right(labels),
+                decoder_input_ids=dec_ids,
                 encoder_states=proj,
                 cross_mask=batch.get("embed_mask"),
+                decoder_segments=dec_seg, encoder_segments=enc_seg,
             )
             return chunked_head_cross_entropy(
                 hidden, labels, frozen["t5"]["lm_head"],
@@ -224,9 +233,10 @@ class MllamaT5EmbedDecoder(BaseModel):
         logits = self.t5.apply(
             {"params": frozen["t5"]},
             method=self.t5.decode_with_encoder_states,
-            decoder_input_ids=shift_right(labels),
+            decoder_input_ids=dec_ids,
             encoder_states=proj,
             cross_mask=batch.get("embed_mask"),
+            decoder_segments=dec_seg, encoder_segments=enc_seg,
         )
         return cross_entropy_loss(logits, labels)
 

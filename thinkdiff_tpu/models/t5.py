@@ -233,11 +233,12 @@ class T5Attention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, kv=None, position_bias=None, mask=None,
-                 deterministic=True):
+                 deterministic=True, q_segments=None, kv_segments=None):
         """hidden: (B, Tq, D); kv: cross-attn source (B, Tk, D) or None.
 
         mask: (B, Tk) 1/0 validity of keys; position_bias additive
-        (1|B, H, Tq, Tk). Returns (B, Tq, D).
+        (1|B, H, Tq, Tk). q/kv_segments: (B, Tq)/(B, Tk) packing ids
+        (>=1 real, 0 pad) — same-segment attention only. Returns (B, Tq, D).
         """
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
@@ -272,8 +273,11 @@ class T5Attention(nn.Module):
         # as a broadcast (B, H, Tq, Tk) bias tensor
         kv_mask = None if mask is None else mask.astype(jnp.int32)
 
+        if q_segments is None or kv_segments is None:
+            q_segments = kv_segments = None  # ids only act in pairs
         # T5 has no 1/sqrt(d) scaling -> sm_scale=1.0
-        out = flash_attention(q, k, v, bias, kv_mask, self.causal, 1.0)
+        out = flash_attention(q, k, v, bias, kv_mask, self.causal, 1.0,
+                              512, 1024, q_segments, kv_segments)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
         return QDense(cfg.d_model, dtype=cfg.dtype, quant=cfg.quant_int8,
                       name="o")(out)
@@ -330,13 +334,15 @@ class T5Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, encoder_states=None, self_bias=None,
-                 self_mask=None, cross_mask=None, deterministic=True):
+                 self_mask=None, cross_mask=None, deterministic=True,
+                 segments=None, enc_segments=None):
         cfg = self.cfg
         h = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
                         name="self_attn_norm")(x)
         h = T5Attention(cfg, causal=self.causal, name="self_attn")(
             h, position_bias=self_bias, mask=self_mask,
-            deterministic=deterministic,
+            deterministic=deterministic, q_segments=segments,
+            kv_segments=segments,
         )
         x = x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
         if self.has_cross:
@@ -344,7 +350,8 @@ class T5Block(nn.Module):
                             name="cross_attn_norm")(x)
             h = T5Attention(cfg, causal=False, name="cross_attn")(
                 h, kv=encoder_states, mask=cross_mask,
-                deterministic=deterministic,
+                deterministic=deterministic, q_segments=segments,
+                kv_segments=enc_segments,
             )
             x = x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
         h = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
@@ -359,7 +366,8 @@ class T5Encoder(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, input_embeds, mask=None, deterministic=True):
+    def __call__(self, input_embeds, mask=None, deterministic=True,
+                 segments=None):
         cfg = self.cfg
         bias = T5RelativeBias(cfg, bidirectional=True, name="rel_bias")(
             input_embeds.shape[1], input_embeds.shape[1]
@@ -369,7 +377,7 @@ class T5Encoder(nn.Module):
                      else T5Block)
         for i in range(cfg.num_layers):
             x = block_cls(cfg, causal=False, has_cross=False, name=f"block_{i}")(
-                x, None, bias, mask, None, deterministic
+                x, None, bias, mask, None, deterministic, segments
             )
         x = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
                         name="final_norm")(x)
@@ -381,7 +389,8 @@ class T5Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_embeds, encoder_states, self_mask=None,
-                 cross_mask=None, deterministic=True):
+                 cross_mask=None, deterministic=True, segments=None,
+                 enc_segments=None):
         cfg = self.cfg
         t = input_embeds.shape[1]
         bias = T5RelativeBias(cfg, bidirectional=False, name="rel_bias")(t, t)
@@ -391,6 +400,7 @@ class T5Decoder(nn.Module):
         for i in range(cfg.num_decoder_layers):
             x = block_cls(cfg, causal=True, has_cross=True, name=f"block_{i}")(
                 x, encoder_states, bias, self_mask, cross_mask, deterministic,
+                segments, enc_segments,
             )
         x = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype,
                         name="final_norm")(x)
@@ -437,26 +447,33 @@ class T5ForConditionalGeneration(nn.Module):
         return states, mask
 
     def decode_hidden(self, decoder_input_ids, encoder_states,
-                      cross_mask=None, decoder_mask=None, deterministic=True):
+                      cross_mask=None, decoder_mask=None, deterministic=True,
+                      decoder_segments=None, encoder_segments=None):
         """Decoder final hidden states (B, T, D) — the pre-lm_head tap.
         Callers that fuse the head (ops/chunked_ce) or tap embeddings use
-        this; ``decode_with_encoder_states`` adds the head."""
+        this; ``decode_with_encoder_states`` adds the head.
+        decoder/encoder_segments enable packed rows (multiple samples per
+        row, cross-attention restricted to the matching encoder segment)."""
         dec_embeds = self.shared(decoder_input_ids)
         return self.decoder(
             dec_embeds, encoder_states.astype(dec_embeds.dtype),
             self_mask=decoder_mask, cross_mask=cross_mask,
-            deterministic=deterministic,
+            deterministic=deterministic, segments=decoder_segments,
+            enc_segments=encoder_segments,
         )
 
     def decode_with_encoder_states(self, decoder_input_ids, encoder_states,
                                    cross_mask=None, decoder_mask=None,
-                                   deterministic=True):
+                                   deterministic=True, decoder_segments=None,
+                                   encoder_segments=None):
         """Encoder-less path: any (B, S, D) states can condition the decoder
         (reference mllama_vllm_t5_embed_decoder_2.py:585-598 passes
         ``encoder_outputs=(proj,)``)."""
         hidden = self.decode_hidden(
             decoder_input_ids, encoder_states, cross_mask=cross_mask,
             decoder_mask=decoder_mask, deterministic=deterministic,
+            decoder_segments=decoder_segments,
+            encoder_segments=encoder_segments,
         )
         if self.cfg.tie_word_embeddings:
             hidden = hidden * (self.cfg.d_model ** -0.5)

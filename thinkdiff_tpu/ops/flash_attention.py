@@ -26,6 +26,11 @@ Design:
 Shapes: q (B, Hq, Tq, D); k, v (B, Hkv, Tk, D); Hq % Hkv == 0.
 bias: broadcastable to (B, Hq, Tq, Tk) (leading dims may be 1).
 kv_mask: (B, Tk) int, 1 = valid key position.
+q/kv_segment_ids: (B, Tq)/(B, Tk) int — sequence-packing support (t5x
+convention): position i may attend j only when their ids are EQUAL. Use
+ids >= 1 for real tokens and 0 for padding (padded KV then never matches a
+real query). Carried as two (B, T) row vectors — per-pair packing masks
+never materialize, same reasoning as kv_mask.
 """
 
 from __future__ import annotations
@@ -53,8 +58,8 @@ def _round16(v: int) -> int:
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, lse_ref,
-    m_scratch, l_scratch, acc_scratch,
+    q_ref, k_ref, v_ref, bias_ref, mask_ref, qseg_ref, kseg_ref,
+    o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
     q_len: int, kv_len: int, num_k_blocks: int,
 ):
@@ -83,6 +88,9 @@ def _fwd_kernel(
         mask = col < kv_len
         if mask_ref is not None:
             mask = jnp.logical_and(mask, mask_ref[0] > 0)     # (1, bk) bcast
+        if qseg_ref is not None:
+            # packing: (bq, 1) == (1, bk) — same-segment pairs only
+            mask = jnp.logical_and(mask, qseg_ref[0].T == kseg_ref[0])
         if causal:
             row = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -162,25 +170,34 @@ def _bias_inputs(bias, num_heads, tq, tk, block_q, block_k, grid_order="qk"):
     return spec, bias_r
 
 
-def _mask_inputs(kv_mask, num_heads, tk, block_k, grid_order="qk"):
-    # (B, 1, tk) with (1, 1, block_k) blocks: the singleton sublane dim keeps
-    # the block legal under TPU tiling (last two dims must divide (8, 128) or
-    # equal the array dims).
-    if kv_mask.shape[1] != tk:
-        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, tk - kv_mask.shape[1])))
-    kv_mask = kv_mask.reshape(kv_mask.shape[0], 1, tk)
+def _row_vec_inputs(vec, num_heads, t, block, axis, grid_order="qk"):
+    """(B, T) int row vector -> ((1, 1, block) spec, (B, 1, T) array).
+    The singleton sublane dim keeps the block legal under TPU tiling (last
+    two dims must divide (8, 128) or equal the array dims). ``axis``: which
+    grid position indexes this vector ('q' or 'k')."""
+    if vec.shape[1] != t:
+        vec = jnp.pad(vec, ((0, 0), (0, t - vec.shape[1])))
+    vec = vec.reshape(vec.shape[0], 1, t)
 
     def index(bh, *rest):
-        ki = rest[-1] if grid_order == "qk" else rest[0]
-        return (bh // num_heads, 0, ki)
+        # grids: fwd/dq 'qk' = (bh, qi[, sweep], ki); dkv 'kq' = (bh, ki, qi)
+        if axis == "k":
+            i = rest[-1] if grid_order == "qk" else rest[0]
+        else:
+            i = rest[0] if grid_order == "qk" else rest[-1]
+        return (bh // num_heads, 0, i)
 
-    spec = pl.BlockSpec((1, 1, block_k), index, memory_space=pltpu.VMEM)
-    return spec, kv_mask.astype(jnp.int32)
+    spec = pl.BlockSpec((1, 1, block), index, memory_space=pltpu.VMEM)
+    return spec, vec.astype(jnp.int32)
+
+
+def _mask_inputs(kv_mask, num_heads, tk, block_k, grid_order="qk"):
+    return _row_vec_inputs(kv_mask, num_heads, tk, block_k, "k", grid_order)
 
 
 def _flash_attention_forward(
-    q, k, v, bias, kv_mask=None, *, causal: bool, sm_scale: float,
-    block_q: int, block_k: int, return_lse: bool = False,
+    q, k, v, bias, kv_mask=None, q_seg=None, kv_seg=None, *, causal: bool,
+    sm_scale: float, block_q: int, block_k: int, return_lse: bool = False,
 ):
     batch, num_heads, q_len, head_dim = q.shape
     _, num_kv_heads, kv_len, _ = k.shape
@@ -211,6 +228,8 @@ def _flash_attention_forward(
     inputs = [q_r, k_r, v_r]
     has_bias = bias is not None
     has_mask = kv_mask is not None
+    has_seg = q_seg is not None
+    assert has_seg == (kv_seg is not None), "segment ids come in pairs"
     if has_bias:
         spec, bias_r = _bias_inputs(bias, num_heads, tq, tk, block_q, block_k)
         in_specs.append(spec)
@@ -219,6 +238,13 @@ def _flash_attention_forward(
         spec, mask_r = _mask_inputs(kv_mask, num_heads, tk, block_k)
         in_specs.append(spec)
         inputs.append(mask_r)
+    if has_seg:
+        spec, qs_r = _row_vec_inputs(q_seg, num_heads, tq, block_q, "q")
+        in_specs.append(spec)
+        inputs.append(qs_r)
+        spec, ks_r = _row_vec_inputs(kv_seg, num_heads, tk, block_k, "k")
+        in_specs.append(spec)
+        inputs.append(ks_r)
 
     def kernel(*refs):
         i = 3
@@ -226,12 +252,15 @@ def _flash_attention_forward(
         i += 1 if has_bias else 0
         m_ref = refs[i] if has_mask else None
         i += 1 if has_mask else 0
+        qs_ref = refs[i] if has_seg else None
+        ks_ref = refs[i + 1] if has_seg else None
+        i += 2 if has_seg else 0
         o_ref = refs[i]
         lse_ref = refs[i + 1] if return_lse else None
         scr = refs[i + 1 + (1 if return_lse else 0):]
         _fwd_kernel(
-            refs[0], refs[1], refs[2], b_ref, m_ref, o_ref, lse_ref,
-            *scr, sm_scale=sm_scale, causal=causal,
+            refs[0], refs[1], refs[2], b_ref, m_ref, qs_ref, ks_ref,
+            o_ref, lse_ref, *scr, sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_k=block_k, q_len=q_len, kv_len=kv_len,
             num_k_blocks=num_k_blocks,
         )
@@ -283,7 +312,7 @@ def _flash_attention_forward(
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, bias_ref, mask_ref,
-    dq_ref, delta_ref, dq_scratch, delta_scratch,
+    qseg_ref, kseg_ref, dq_ref, delta_ref, dq_scratch, delta_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
     kv_len: int, num_k_blocks: int,
 ):
@@ -314,6 +343,8 @@ def _dq_kernel(
         mask = col < kv_len
         if mask_ref is not None:
             mask = jnp.logical_and(mask, mask_ref[0] > 0)
+        if qseg_ref is not None:
+            mask = jnp.logical_and(mask, qseg_ref[0].T == kseg_ref[0])
         if causal:
             row = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -360,7 +391,7 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref, mask_ref,
-    dk_ref, dv_ref, dk_scratch, dv_scratch,
+    qseg_ref, kseg_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
     kv_len: int, num_q_blocks: int,
 ):
@@ -386,6 +417,8 @@ def _dkv_kernel(
         mask = col < kv_len
         if mask_ref is not None:
             mask = jnp.logical_and(mask, mask_ref[0] > 0)
+        if qseg_ref is not None:
+            mask = jnp.logical_and(mask, qseg_ref[0].T == kseg_ref[0])
         if causal:
             row = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -425,8 +458,8 @@ def _dkv_kernel(
 
 
 def _flash_attention_backward(
-    q, k, v, bias, kv_mask, lse, g, *, causal: bool, sm_scale: float,
-    block_q: int, block_k: int,
+    q, k, v, bias, kv_mask, q_seg, kv_seg, lse, g, *, causal: bool,
+    sm_scale: float, block_q: int, block_k: int,
 ):
     """FlashAttention-2 backward: dq kernel (two sweeps over k: delta then
     dq) + dk/dv kernel (q innermost); p recomputed from the saved row
@@ -466,6 +499,7 @@ def _flash_attention_backward(
 
     has_bias = bias is not None
     has_mask = kv_mask is not None
+    has_seg = q_seg is not None
 
     # ---- dq (+ delta, emitted for the dk/dv kernel) ----
     in_specs = [
@@ -488,6 +522,13 @@ def _flash_attention_backward(
         spec, mask_r = _mask_inputs(kv_mask, num_heads, tk, block_k, "qk")
         in_specs.append(spec)
         inputs.append(mask_r)
+    if has_seg:
+        spec, qs_r = _row_vec_inputs(q_seg, num_heads, tq, block_q, "q", "qk")
+        in_specs.append(spec)
+        inputs.append(qs_r)
+        spec, ks_r = _row_vec_inputs(kv_seg, num_heads, tk, block_k, "k", "qk")
+        in_specs.append(spec)
+        inputs.append(ks_r)
 
     def dq_kernel(*refs):
         i = 5
@@ -495,9 +536,13 @@ def _flash_attention_backward(
         i += 1 if has_bias else 0
         m_ref = refs[i] if has_mask else None
         i += 1 if has_mask else 0
+        qs_ref = refs[i] if has_seg else None
+        ks_ref = refs[i + 1] if has_seg else None
+        i += 2 if has_seg else 0
         _dq_kernel(
             refs[0], refs[1], refs[2], refs[3], refs[4],
-            b_ref, m_ref, refs[i], refs[i + 1], refs[i + 2], refs[i + 3],
+            b_ref, m_ref, qs_ref, ks_ref,
+            refs[i], refs[i + 1], refs[i + 2], refs[i + 3],
             sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             num_k_blocks=num_k_blocks,
@@ -554,6 +599,13 @@ def _flash_attention_backward(
         spec, mask_r = _mask_inputs(kv_mask, num_heads, tk, block_k, "kq")
         in_specs.append(spec)
         inputs.append(mask_r)
+    if has_seg:
+        spec, qs_r = _row_vec_inputs(q_seg, num_heads, tq, block_q, "q", "kq")
+        in_specs.append(spec)
+        inputs.append(qs_r)
+        spec, ks_r = _row_vec_inputs(kv_seg, num_heads, tk, block_k, "k", "kq")
+        in_specs.append(spec)
+        inputs.append(ks_r)
 
     def dkv_kernel(*refs):
         i = 6
@@ -561,9 +613,13 @@ def _flash_attention_backward(
         i += 1 if has_bias else 0
         m_ref = refs[i] if has_mask else None
         i += 1 if has_mask else 0
+        qs_ref = refs[i] if has_seg else None
+        ks_ref = refs[i + 1] if has_seg else None
+        i += 2 if has_seg else 0
         _dkv_kernel(
             refs[0], refs[1], refs[2], refs[3], refs[4], refs[5],
-            b_ref, m_ref, refs[i], refs[i + 1], refs[i + 2], refs[i + 3],
+            b_ref, m_ref, qs_ref, ks_ref,
+            refs[i], refs[i + 1], refs[i + 2], refs[i + 3],
             sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             num_q_blocks=num_q_blocks,
@@ -608,7 +664,8 @@ def _flash_attention_backward(
 
 
 def mha_reference(q, k, v, bias=None, kv_mask=None, causal: bool = False,
-                  sm_scale: Optional[float] = None):
+                  sm_scale: Optional[float] = None, q_segment_ids=None,
+                  kv_segment_ids=None):
     """Naive attention in plain XLA — numerics reference + CPU/small path."""
     *_, q_len, head_dim = q.shape
     kv_len = k.shape[-2]
@@ -625,6 +682,10 @@ def mha_reference(q, k, v, bias=None, kv_mask=None, causal: bool = False,
         s = s + bias.astype(jnp.float32)
     if kv_mask is not None:
         s = jnp.where(kv_mask[:, None, None, :] > 0, s, NEG_INF)
+    if q_segment_ids is not None:
+        same = (q_segment_ids[:, None, :, None]
+                == kv_segment_ids[:, None, None, :])
+        s = jnp.where(same, s, NEG_INF)
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
@@ -647,23 +708,30 @@ def _use_pallas(q, k) -> bool:
 def flash_attention(
     q, k, v, bias=None, kv_mask=None, causal: bool = False,
     sm_scale: Optional[float] = None, block_q: int = 512, block_k: int = 1024,
+    q_segment_ids=None, kv_segment_ids=None,
 ):
     """Flash attention with a Pallas forward AND backward on TPU.
 
     kv_mask (B, Tk) carries key validity separately from the additive bias so
-    callers never materialize a (B, H, Tq, Tk) mask tensor.
+    callers never materialize a (B, H, Tq, Tk) mask tensor. q/kv_segment_ids
+    ((B, Tq)/(B, Tk), real tokens >= 1, padding 0) add same-segment masking
+    for packed sequences at the same O(B*T) cost.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if _use_pallas(q, k):
         return _flash_attention_forward(
-            q, k, v, bias, kv_mask, causal=causal, sm_scale=sm_scale,
+            q, k, v, bias, kv_mask, q_segment_ids, kv_segment_ids,
+            causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_k=block_k,
         )
-    return mha_reference(q, k, v, bias, kv_mask, causal=causal, sm_scale=sm_scale)
+    return mha_reference(q, k, v, bias, kv_mask, causal=causal,
+                         sm_scale=sm_scale, q_segment_ids=q_segment_ids,
+                         kv_segment_ids=kv_segment_ids)
 
 
-def _fwd_rule(q, k, v, bias, kv_mask, causal, sm_scale, block_q, block_k):
+def _fwd_rule(q, k, v, bias, kv_mask, causal, sm_scale, block_q, block_k,
+              q_segment_ids, kv_segment_ids):
     # symbolic_zeros=True wraps diff-args as CustomVJPPrimal: .value is the
     # array, .perturbed says whether its gradient is actually needed — used
     # to decide whether dbias must be computed (it never is for the in-tree
@@ -673,19 +741,21 @@ def _fwd_rule(q, k, v, bias, kv_mask, causal, sm_scale, block_q, block_k):
     bias_perturbed = bool(getattr(bias, "perturbed", False))
     q, k, v = unwrap(q), unwrap(k), unwrap(v)
     bias, kv_mask = unwrap(bias), unwrap(kv_mask)
+    q_seg, kv_seg = unwrap(q_segment_ids), unwrap(kv_segment_ids)
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if _use_pallas(q, k) and not bias_perturbed:
         out, lse = _flash_attention_forward(
-            q, k, v, bias, kv_mask, causal=causal, sm_scale=sm_scale,
-            block_q=block_q, block_k=block_k, return_lse=True,
+            q, k, v, bias, kv_mask, q_seg, kv_seg, causal=causal,
+            sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+            return_lse=True,
         )
         # NOTE: `out` is deliberately NOT a residual (saves (B,H,Tq,D) HBM
         # per layer); the backward reconstructs delta inside the dq kernel.
-        return out, (q, k, v, bias, kv_mask, lse)
+        return out, (q, k, v, bias, kv_mask, q_seg, kv_seg, lse)
     out = flash_attention(q, k, v, bias, kv_mask, causal, sm_scale,
-                          block_q, block_k)
-    return out, (q, k, v, bias, kv_mask, None)
+                          block_q, block_k, q_seg, kv_seg)
+    return out, (q, k, v, bias, kv_mask, q_seg, kv_seg, None)
 
 
 # Backward block sizes are halved vs forward: the backward keeps ~3 (bq, bk)
@@ -708,35 +778,36 @@ def _use_pallas_bwd(q_len: int, kv_len: int) -> bool:
 
 
 def _bwd_rule(causal, sm_scale, block_q, block_k, res, g):
-    q, k, v, bias, kv_mask, lse = res
+    q, k, v, bias, kv_mask, q_seg, kv_seg, lse = res
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if hasattr(g, "aval") and isinstance(
         g, jax.custom_derivatives.SymbolicZero
     ):
         zero = lambda x: None if x is None else jnp.zeros_like(x)
-        return zero(q), zero(k), zero(v), zero(bias), None
+        return (zero(q), zero(k), zero(v), zero(bias), None, None, None)
 
     if lse is None or not _use_pallas_bwd(q.shape[2], k.shape[2]):
         # short-sequence/CPU path — or bias itself needs a gradient (full-T5
         # finetuning): recompute VJP through the naive reference.
         def ref(q, k, v, bias):
             return mha_reference(q, k, v, bias, kv_mask, causal=causal,
-                                 sm_scale=sm_scale)
+                                 sm_scale=sm_scale, q_segment_ids=q_seg,
+                                 kv_segment_ids=kv_seg)
 
         _, vjp = jax.vjp(ref, q, k, v, bias)
         dq, dk, dv, dbias = vjp(g)
-        return dq, dk, dv, (None if bias is None else dbias), None
+        return dq, dk, dv, (None if bias is None else dbias), None, None, None
 
     bq, bk = _bwd_blocks(block_q, block_k)
     dq, dk, dv = _flash_attention_backward(
-        q, k, v, bias, kv_mask, lse, g, causal=causal,
+        q, k, v, bias, kv_mask, q_seg, kv_seg, lse, g, causal=causal,
         sm_scale=sm_scale, block_q=bq, block_k=bk,
     )
     # bias was not perturbed on this path (checked in _fwd_rule), so its
     # cotangent is exactly zero.
     dbias = None if bias is None else jnp.zeros_like(bias)
-    return dq, dk, dv, dbias, None
+    return dq, dk, dv, dbias, None, None, None
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule, symbolic_zeros=True)
