@@ -407,3 +407,36 @@ def test_sorted_window_batching_two_level_grouping():
     exp_rows = max(s["__presplit__"] for s in batch)
     assert out["embed_mask"].sum(axis=1).max() == exp_rows
     assert out["embeds"].shape[1] == bucket_length(exp_rows, 128)
+
+
+def test_embed_collator_packed_mode():
+    """pack_cap collates random-split samples into packed rows with
+    segment ids (data/packing.py) instead of per-sample padding."""
+    tok = DummyTokenizer()
+    coll = EmbedShardCollator(
+        tok, lambda ids: " ".join("tok" for _ in ids),
+        use_output_embed=True, random_split_output_embed=True,
+        output_embed_max_split_len=4, max_txt_len=8, pack_cap=16,
+        pack_row_bucket=2, seed=0,
+    )
+    samples = []
+    for i in range(6):
+        n = 6 + i
+        samples.append({
+            "model.norm.output_embed.pth":
+                np.random.RandomState(i).randn(n, 6).astype(np.float32),
+            "json": {"output_token_ids": list(range(100, 100 + n))},
+        })
+    batch = coll(samples)
+    assert set(batch) >= {"embeds", "embed_mask", "labels",
+                          "decoder_input_ids", "enc_segments",
+                          "dec_segments"}
+    r = batch["labels"].shape[0]
+    assert r % 2 == 0 and batch["labels"].shape[1] == 16
+    assert batch["embeds"].shape[1] == 16
+    # all 6 samples present as segments
+    total = sum(len(np.unique(row[row > 0])) for row in batch["dec_segments"])
+    assert total == 6
+    # mask equals enc segment validity
+    np.testing.assert_array_equal(
+        batch["embed_mask"], (batch["enc_segments"] > 0).astype(np.int32))

@@ -351,3 +351,45 @@ def test_accum_grad_iters_lr_and_update_semantics():
     assert not same(states[2], states[1]), "update must land at accum boundary"
     assert same(states[3], states[2])
     assert not same(states[4], states[3])
+
+
+def test_lvlm_aligner_training_packed_e2e(tmp_path):
+    """Same pipeline with sequence packing enabled (build_info.pack):
+    batches arrive as fixed-cap packed rows with segment ids, the train
+    step runs them under the GSPMD mesh, and the loss is finite."""
+    storage = _make_embed_shards(tmp_path)
+    cfg = {
+        "model": {
+            "arch": "mllama-vllm-t5-embed-decoder-2",
+            "dtype": "float32", "load_pretrained": False,
+            "vlm_hidden_size": 24, "t5_config": TINY_T5,
+        },
+        "datasets": {
+            "llava_instruct_mllama_embed_2": {
+                "batch_size": 8, "max_txt_len": 8,
+                "build_info": {
+                    "storage": storage, "use_input_embed": False,
+                    "use_output_embed": True,
+                    "random_split_output_embed": True,
+                    "output_embed_max_split_len": 6,
+                    "pack": 16, "pack_row_bucket": 2,
+                },
+            },
+        },
+        "run": {
+            "task": "image_text_pretrain", "runner": "runner_clip_t5",
+            "lr_sched": "linear_warmup_cosine_lr",
+            "init_lr": 1e-2, "min_lr": 1e-3, "warmup_lr": 1e-6,
+            "warmup_steps": 0, "weight_decay": 0.05,
+            "max_epoch": 1, "iters_per_epoch": 4, "seed": 0,
+            "output_dir": str(tmp_path / "out"),
+            "mesh": {"data": -1, "fsdp": 1, "model": 2},
+        },
+    }
+
+    def patch(model):
+        model.vlm_decode_fn = lambda ids: " ".join(f"w{i}" for i in ids)
+
+    runner, stats = _run_training(cfg, tmp_path, model_patch=patch)
+    assert float(stats["loss"]) > 0
+    assert int(runner.state["step"]) == 4

@@ -255,6 +255,12 @@ class LlavaInstructEmbedBuilder(BaseDatasetBuilder):
                 t5_add_special_tokens_prob=self.knob(
                     "t5_tokenizer_add_special_tokens_prob", None),
                 bucket_lengths=bool(build_info.get("bucket_lengths", False)),
+                # pack: <row tokens> enables segment-id sequence packing
+                # (data/packing.py) — batch_size then counts SAMPLES fed to
+                # the packer per emitted batch; rows are derived
+                pack_cap=(int(build_info["pack"])
+                          if build_info.get("pack") else None),
+                pack_row_bucket=int(build_info.get("pack_row_bucket", 2)),
                 generated_text_key=_GENERATED_TEXT_BATCH_KEYS.get(
                     self.knob("mllama_generated_text_key", "generated_texts"),
                     self.knob("mllama_generated_text_key", "generated_text"),

@@ -177,6 +177,8 @@ class EmbedShardCollator:
                  t5_add_special_tokens_prob: Optional[float] = None,
                  generated_text_key: str = "generated_text",
                  bucket_lengths: bool = False,
+                 pack_cap: Optional[int] = None,
+                 pack_row_bucket: int = 2,
                  seed: Optional[int] = None):
         self.tok = t5_tokenizer
         self.vlm_decode = vlm_decode_fn
@@ -190,6 +192,11 @@ class EmbedShardCollator:
         self.max_txt_len = max_txt_len
         self.add_special_prob = t5_add_special_tokens_prob
         self.bucket_lengths = bucket_lengths
+        # sequence packing (data/packing.py): rows of pack_cap tokens on
+        # BOTH axes, segment-id isolated. Loss/grad-exact vs padded batches
+        # (tests/test_packing.py); output-embed mode only.
+        self.pack_cap = pack_cap
+        self.pack_row_bucket = pack_row_bucket
         self.rng = random.Random(seed)
 
     @staticmethod
@@ -259,6 +266,8 @@ class EmbedShardCollator:
         if self.use_output_embed:
             outs = [self._find_embed(s, "output_embed") for s in samples]
             token_ids = [list(s["json"]["output_token_ids"]) for s in samples]
+            if self.pack_cap and self.random_split:
+                return self._collate_packed(samples, outs, token_ids)
             if self.random_split:
                 parts, texts = [], []
                 for s, e, ids in zip(samples, outs, token_ids):
@@ -294,6 +303,34 @@ class EmbedShardCollator:
             texts = [s["json"].get(self.generated_text_key, "") for s in samples]
             batch["labels"] = self._tokenize_targets(texts)
         return batch
+
+    def _collate_packed(self, samples, outs, token_ids):
+        """Random-split samples -> packed rows (data/packing.py): the same
+        condition-prefix/label-suffix construction, but rows carry multiple
+        segment-isolated samples instead of per-sample padding."""
+        from thinkdiff_tpu.data.packing import pack_rows
+
+        add_special = True
+        if self.add_special_prob is not None:
+            add_special = self.rng.random() < self.add_special_prob
+        items = []
+        for s, e, ids in zip(samples, outs, token_ids):
+            n = e.shape[0]
+            split = s.get("__presplit__") or self.rng.randint(
+                1, max(1, min(n - 1, self.max_split_len)))
+            split = min(split, max(1, min(n - 1, self.max_split_len)))
+            text = self.vlm_decode(ids[split:])
+            lab = self.tok.encode(text, add_special_tokens=add_special)
+            lab = np.asarray(lab[: self.max_txt_len], np.int32)
+            if len(lab) == 0:
+                lab = np.asarray(
+                    [getattr(self.tok, "eos_token_id", None) or 1], np.int32)
+            items.append({"embeds": e[:split], "label_ids": lab})
+        cap = int(self.pack_cap)
+        assert cap >= self.max_split_len and cap >= self.max_txt_len, (
+            "pack_cap must hold the largest single sample")
+        return pack_rows(items, enc_cap=cap, dec_cap=cap,
+                         row_bucket=self.pack_row_bucket)
 
 
 class WidsProcessCollator:
