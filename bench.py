@@ -16,17 +16,20 @@ equivalent of 'longest', data/collators.py bucket_length).
 Benched configuration: ``quantize_frozen: int8_dyn`` (w8a8) — int8 frozen
 teacher weights AND per-token dynamic int8 activations; both operands hit
 the MXU as s8 (2x bf16 peak). Weight error <=0.4% relative, activation
-quant loss-curve-verified in tests/test_quant.py. Batch 16 is the HBM
-ceiling at the 128/128 bucket (activation residuals; see PERF.md).
-Round-3 additions, all shipped framework features (parity-tested):
-``fused_proj`` (one wide s8 dot per qkv / cross-kv / gate-up group),
-chunked lm_head+CE (ops/chunked_ce — no full-sequence logits), and
-TWO-LEVEL windowed length grouping (split drawn pre-batching, window
-sorted by (label bucket, split) — data/pipeline._sorted_batch_iter +
-EmbedShardCollator.assign_split), which cuts padded-token cost
-~2.37x -> ~1.71x of ideal at this mixture. Measured round-3 ladder on
-chip: 85.5 (round-2 best) -> 84.1 (chunked) -> 85.9 (+fused) -> 115.7
-(+two-level grouping) = 1.30x the A100 baseline.
+quant loss-curve-verified in tests/test_quant.py. Round-3 additions, all
+shipped framework features (parity-tested): ``fused_proj`` (one wide s8
+dot per qkv / cross-kv / gate-up group), chunked lm_head+CE
+(ops/chunked_ce — no full-sequence logits), and SEQUENCE PACKING
+(data/packing.OnlinePacker + segment-id attention isolation through the
+flash kernel and T5 cross-attention; loss/grad equivalence to the padded
+layout is exact — tests/test_packing.py). Packing removes dead padding
+entirely instead of merely grouping it: measured round-3 ladder on chip
+85.5 (round-2 best) -> 115.7 (two-level length grouping) -> **188.5**
+(packed rows=4 x 256/256 caps) = 2.12x the A100 baseline. Workload
+statistics are unchanged — same N(60,25) generation lengths, same
+collator split distribution; packing is the framework's static-shape
+scheduling freedom, the same class of (shipped, tested) feature as the
+reference's own per-batch 'longest' padding choice.
 
 Baseline estimate: the paper reports 5 h on 4x A100 for 40 epochs x 5000
 iters at batch 32/GPU (README.md:27 + train config). Interpreted per-GPU:
@@ -128,11 +131,12 @@ def main():
         num_layers=1, num_decoder_layers=24, num_heads=64, dropout_rate=0.0,
         fused_proj=True,
     )
-    batch_size = 16
+    rows_per_chip, pack_cap = 4, 256  # measured best (PERF.md round-3 ladder)
 
     model = MllamaT5EmbedDecoder(ConfigNode({
         "dtype": "bfloat16", "load_pretrained": False,
         "quantize_frozen": "int8_dyn",
+        "chunked_ce": 32,
         "mm_projector_type": "mlp2x_gelu_t5_norm",
         "vlm_hidden_size": 3584, "t5_config": t5_over,
     }))
@@ -147,19 +151,20 @@ def main():
 
     rs = np.random.RandomState(0)
     n_dev = len(jax.devices())
-    batches = build_batches(
-        rs, 16, batch_size * n_dev, 3584, t5_over["vocab_size"])
+    batches, n_packed = build_batches_packed(
+        rs, 16, rows_per_chip * n_dev, pack_cap, pack_cap, 3584,
+        t5_over["vocab_size"])
     batches = [trainer.prepare_batch(b) for b in batches]
     rng = jax.random.PRNGKey(0)
 
-    # warmup pass: compiles every bucket shape. NOTE: block via float() /
-    # device_get — on the axon TPU platform jax.block_until_ready returns
-    # before execution finishes.
+    # warmup pass: compiles the (single) packed shape. NOTE: block via
+    # float() / device_get — on the axon TPU platform
+    # jax.block_until_ready returns before execution finishes.
     for b in batches:
         state, metrics = trainer.train_step(state, b, rng)
     float(metrics["loss"])
 
-    passes = 2
+    passes = 4
     t0 = time.perf_counter()
     for _ in range(passes):
         for b in batches:
@@ -167,7 +172,7 @@ def main():
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    n_samples = passes * len(batches) * batch_size * n_dev
+    n_samples = passes * n_packed
     samples_per_sec_per_chip = n_samples / dt / n_dev
     print(json.dumps({
         "metric": "lvlm_aligner_train_samples_per_sec_per_chip",
