@@ -57,6 +57,11 @@ class CogVideoXConfig:
     # leave no activation headroom at the 49-frame 480p operating point on a
     # 16 GiB v5e, int8 halves them (see scripts/bench_cogvideo.py)
     quant_int8: Any = False
+    # flash-attention tile sizes for the joint-attention call — the 42-layer
+    # T~17.8k attention dominates the 5b denoise step, and the best tiling
+    # at that shape differs from the kernel default (PERF.md round-3 sweep)
+    attn_block_q: int = 512
+    attn_block_k: int = 1024
 
     @property
     def head_dim(self):
@@ -64,7 +69,10 @@ class CogVideoXConfig:
 
     @classmethod
     def cogvideox_5b(cls, **kw):
-        return cls(**{**dict(dtype=jnp.bfloat16), **kw})
+        # block_k 2048 measured 12% faster than the kernel default at the
+        # 49f/480p joint-attention shape (B2 H48 T17776 D64): 155 -> 139 ms,
+        # 56 TF/s; larger q tiles VMEM-OOM at D=64 (PERF.md round-3 sweep)
+        return cls(**{**dict(dtype=jnp.bfloat16, attn_block_k=2048), **kw})
 
     @classmethod
     def tiny(cls, **kw):
@@ -134,7 +142,9 @@ class CogVideoXBlock(nn.Module):
         kv_ = apply_rope_interleaved(k[:, :, st:], cos, sin)
         q = jnp.concatenate([q[:, :, :st], qv], axis=2)
         k = jnp.concatenate([k[:, :, :st], kv_], axis=2)
-        attn = flash_attention(q, k, v, None, None, False, hd ** -0.5)
+        attn = flash_attention(q, k, v, None, None, False, hd ** -0.5,
+                               block_q=cfg.attn_block_q,
+                               block_k=cfg.attn_block_k)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
         attn = dense(d, "to_out")(attn)
         txt = txt + tg1[:, None] * attn[:, :st]
