@@ -1,11 +1,14 @@
 """KV-cache attention for autoregressive decode.
 
 Replaces vLLM's CUDA PagedAttention (the reference's generation engine —
-SURVEY.md §2.9 item 1). Round-1 implementation: dense static-shape cache
+SURVEY.md §2.9 item 1). This is the DENSE formulation: static-shape cache
 attention with length masking, fully fused by XLA (the per-step FLOPs are
 tiny; the bottleneck is HBM reads of the cache, which this formulation
-streams once). A Pallas paged kernel is the later perf pass; this module is
-the single seam where it plugs in.
+streams once per step, bounded by the engine's 256-step attention-window
+bucketing). The serving-scale path is ops/paged_attention.py — a Pallas
+page-pool kernel with per-slot early exit — which also reuses this module
+as its XLA gather oracle; scripts/bench_paged_attention.py measures the
+two against each other on chip.
 """
 
 from __future__ import annotations
