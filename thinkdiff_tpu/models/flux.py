@@ -48,6 +48,24 @@ class FluxConfig:
     # the 12B dev geometry fits a single 16 GB v5e in int8 (bf16 needs the
     # `model` mesh axis)
     quant_int8: bool = False
+    # flash-attention tile sizes; 0 = auto. Auto uses ONE k tile spanning
+    # the whole joint sequence when it fits scoped VMEM (at D=128 the qk
+    # f32 tile is the limit: 512 x 4608 x 4B ≈ 9.4 MB of the 16 MB budget)
+    # — measured 23% faster than the kernel default at the dev 1024²
+    # shape (B1 H24 T4608 D128: 4.80 -> 3.89 ms, 67 TF/s; PERF.md round-3)
+    attn_block_q: int = 512
+    attn_block_k: int = 0
+
+    # largest padded kv_len a single full-sequence k tile may span in auto
+    # mode (beyond it the qk scratch blows the 16 MB scoped VMEM)
+    _FULL_K_LIMIT = 6144
+
+    def attn_blocks(self, kv_len: int):
+        """(block_q, block_k) for a joint-attention call at this kv_len."""
+        bk = self.attn_block_k
+        if bk == 0:
+            bk = kv_len if kv_len <= self._FULL_K_LIMIT else 1024
+        return self.attn_block_q, bk
 
     @property
     def head_dim(self):
@@ -190,7 +208,9 @@ class DoubleBlock(nn.Module):
         v = jnp.concatenate([tv, iv], axis=2)
         q = apply_rope_interleaved(q, cos, sin)
         k = apply_rope_interleaved(k, cos, sin)
-        out = flash_attention(q, k, v, None, None, False, hd ** -0.5)
+        bq, bk = cfg.attn_blocks(q.shape[2])
+        out = flash_attention(q, k, v, None, None, False, hd ** -0.5,
+                              block_q=bq, block_k=bk)
         out = out.transpose(0, 2, 1, 3).reshape(b, st + si, d)
         txt_attn, img_attn = out[:, :st], out[:, st:]
 
@@ -236,7 +256,9 @@ class SingleBlock(nn.Module):
         q, k = QKNorm(hd, cfg.dtype, name="qknorm")(q, k)
         q = apply_rope_interleaved(q, cos, sin)
         k = apply_rope_interleaved(k, cos, sin)
-        attn = flash_attention(q, k, v, None, None, False, hd ** -0.5)
+        bq, bk = cfg.attn_blocks(s)
+        attn = flash_attention(q, k, v, None, None, False, hd ** -0.5,
+                               block_q=bq, block_k=bk)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
         mlp = jax.nn.gelu(dense(mlp_dim, "mlp")(xn), approximate=True)
         out = dense(d, "proj_out")(jnp.concatenate([attn, mlp], axis=-1))
