@@ -21,6 +21,7 @@ Usage: python -m scripts.bench_paged_attention --slots 16 64 256
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -31,9 +32,11 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def bench(fn, args, iters, inner):
+def bench(fn, args, iters, inner, kwargs=None):
     import jax
 
+    kw = kwargs or {}
+    fn = functools.partial(fn, **kw)
     out = fn(*args)
     jax.tree_util.tree_map(
         lambda l: float(np.asarray(jax.device_get(l)).astype(np.float32).sum()
@@ -104,24 +107,32 @@ def main():
             rs.randn(s, hkv, args.max_len, d) * 0.1, jnp.bfloat16)
 
         def scan_of(step):
-            def body(c, _):
-                return step(c), None
-            return jax.jit(lambda q0: jax.lax.scan(
-                body, q0, None, length=args.inner)[0])
+            # caches/tables are explicit jit ARGUMENTS, not closed-over
+            # constants: embedded constants ship inside the compile payload,
+            # which the axon remote-compile tunnel caps (HTTP 413 at the
+            # 256-slot dense cache)
+            def body(c, _, **kw):
+                return step(c, **kw), None
+            return jax.jit(lambda q0, **kw: jax.lax.scan(
+                functools.partial(body, **kw), q0, None,
+                length=args.inner)[0])
 
-        dense_fn = scan_of(lambda qq: decode_attention(
-            qq[:, :, None], k_dense, v_dense, lens_j)[:, :, 0].astype(qq.dtype))
-        xla_fn = scan_of(lambda qq: paged_attention_xla(
-            qq, k_pool, v_pool, table_j, lens_j).astype(qq.dtype))
+        dense_fn = scan_of(lambda qq, k=None, v=None: decode_attention(
+            qq[:, :, None], k, v, lens_j)[:, :, 0].astype(qq.dtype))
+        xla_fn = scan_of(lambda qq, k=None, v=None: paged_attention_xla(
+            qq, k, v, table_j, lens_j).astype(qq.dtype))
         row = {"slots": s, "mp": mp, "live_pages": n_pages - 1}
-        t, _ = bench(dense_fn, (q,), args.iters, args.inner)
+        t, _ = bench(dense_fn, (q,), args.iters, args.inner,
+                     dict(k=k_dense, v=v_dense))
         row["dense_us"] = round(t * 1e6, 1)
-        t, o_xla = bench(xla_fn, (q,), args.iters, args.inner)
+        t, o_xla = bench(xla_fn, (q,), args.iters, args.inner,
+                         dict(k=k_pool, v=v_pool))
         row["paged_xla_us"] = round(t * 1e6, 1)
         if on_tpu:
-            pl_fn = scan_of(lambda qq: paged_attention_pallas(
-                qq, k_pool, v_pool, table_j, lens_j).astype(qq.dtype))
-            t, o_pl = bench(pl_fn, (q,), args.iters, args.inner)
+            pl_fn = scan_of(lambda qq, k=None, v=None: paged_attention_pallas(
+                qq, k, v, table_j, lens_j).astype(qq.dtype))
+            t, o_pl = bench(pl_fn, (q,), args.iters, args.inner,
+                            dict(k=k_pool, v=v_pool))
             row["paged_pallas_us"] = round(t * 1e6, 1)
             # on-chip numerics: one un-scanned step vs the XLA oracle
             a = np.asarray(jax.device_get(paged_attention_pallas(

@@ -23,9 +23,11 @@ whose block index equals the previous step's — so each slot costs only
 ``ceil(len/PAGE)`` page fetches of HBM bandwidth regardless of MP. Compute
 for clamped steps is masked out via ``pl.when``.
 
-On non-TPU backends (and under THINKDIFF_PAGED_XLA=1) a pure-XLA gather
-formulation with identical semantics runs instead; it is also the
-reference implementation the kernel is tested against.
+A pure-XLA gather formulation with identical semantics is the DEFAULT
+everywhere (it measured faster than the kernel at serving page counts —
+see the dispatcher docstring); the Pallas kernel runs under
+THINKDIFF_PAGED_PALLAS=1 and doubles as the on-chip numerics cross-check
+target (scripts/bench_paged_attention asserts kernel == oracle).
 """
 
 from __future__ import annotations
@@ -178,11 +180,33 @@ def paged_attention_pallas(q, k_pool, v_pool, page_table, lengths,
 
 
 def paged_attention(q, k_pool, v_pool, page_table, lengths, sm_scale=None):
-    """Dispatcher: Pallas kernel on TPU, XLA gather elsewhere."""
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("THINKDIFF_PAGED_XLA") != "1"):
-        return paged_attention_pallas(q, k_pool, v_pool, page_table,
-                                      lengths, sm_scale)
+    """Dispatcher — picks the formulation that measured fastest on chip.
+
+    Head-to-head per decode step (scripts/bench_paged_attention, 2B
+    serving geometry H12/Hkv2/D128/page64, PERF.md round-3 table):
+
+        slots   xla gather   pallas kernel
+          16       773 us        810 us
+          64       935 us       1189 us
+         256      3524 us       2625 us
+
+    At small slot counts XLA's one fused gather wins; at serving scale
+    the gather's materialized (S, MP*page) copy grows past the kernel's
+    per-page grid overhead and the early-exit DMA elision takes over.
+    Crossover sits between 64 and 256 — dispatch on the traced slot
+    count (static at trace time). THINKDIFF_PAGED_PALLAS=1 /
+    THINKDIFF_PAGED_XLA=1 force one side for measurement.
+    """
+    if jax.default_backend() == "tpu":
+        if os.environ.get("THINKDIFF_PAGED_PALLAS") == "1":
+            use_pallas = True
+        elif os.environ.get("THINKDIFF_PAGED_XLA") == "1":
+            use_pallas = False
+        else:
+            use_pallas = q.shape[0] >= 128
+        if use_pallas:
+            return paged_attention_pallas(q, k_pool, v_pool, page_table,
+                                          lengths, sm_scale)
     return paged_attention_xla(q, k_pool, v_pool, page_table, lengths,
                                sm_scale)
 
