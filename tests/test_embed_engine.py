@@ -277,6 +277,55 @@ def test_generate_many_paged_matches_dense():
             rtol=2e-2, atol=2e-2)
 
 
+def test_chunked_prefill_matches_dense_prefill():
+    """Chunked prefill (fixed (B, C) sequence chunks against the KV cache)
+    must reproduce the one-shot bucketed prefill exactly: same greedy
+    tokens, same prompt/generation hidden states — including image-embed
+    injection that lands inside a later chunk."""
+    from PIL import Image
+
+    engine = make_engine(max_tokens=6, min_tokens=2, temperature=0.0)
+    rs = np.random.RandomState(0)
+    imgs = [Image.fromarray(rs.randint(0, 255, (24, 24, 3), np.uint8))
+            for _ in range(3)]
+    # lengths straddle the 64-token chunk boundary (with template + pads)
+    prompts = ["describe " + " ".join(f"w{j}" for j in range(20 + 41 * i))
+               for i in range(3)]
+    samples = {"prompts": prompts, "images": [[im] for im in imgs]}
+    dense = engine.generate(samples, seed=5)
+    engine.prefill_chunk = 64
+    chunked = engine.generate(samples, seed=5)
+    engine.prefill_chunk = None
+    assert dense.output_token_ids == chunked.output_token_ids
+    for i in range(3):
+        np.testing.assert_allclose(
+            chunked.prompt_hidden_states[i], dense.prompt_hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            chunked.hidden_states[i], dense.hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+
+
+def test_generate_many_paged_with_chunked_prefill():
+    """Chunked prefill composes with the paged-KV scheduler: page commit
+    reads the same dense-cache layout the bucketed prefill produces."""
+    engine = make_engine(max_tokens=12, min_tokens=2, temperature=0.0)
+    engine.kv_page_size = 8
+    prompts = [f"describe thing number {i} " + "pad " * (7 * i)
+               for i in range(9)]
+    ref = engine.generate_many(
+        {"prompts": prompts}, seed=3, slots=3, chunk=4, paged=True)
+    engine.prefill_chunk = 64
+    out = engine.generate_many(
+        {"prompts": prompts}, seed=3, slots=3, chunk=4, paged=True)
+    engine.prefill_chunk = None
+    assert ref.output_token_ids == out.output_token_ids
+    for i in range(9):
+        np.testing.assert_allclose(
+            ref.hidden_states[i], out.hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+
+
 def test_generate_many_paged_contract_large_slots():
     """Paged mode at slots >= n (single fill, no refill) and with sampling:
     the GenerationResult contract holds (EOS trim, min_tokens, alignment)."""

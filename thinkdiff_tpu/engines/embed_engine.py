@@ -169,7 +169,8 @@ class EmbedEngine:
                  min_pixels: int = 56 * 56, max_pixels: int = 12845056,
                  limit_images_per_prompt: Optional[int] = None, mesh=None,
                  max_num_seqs: int = 16, kv_page_size: int = 64,
-                 vision_batch: int = 32):
+                 vision_batch: int = 32,
+                 prefill_chunk: Optional[int] = None):
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -198,9 +199,24 @@ class EmbedEngine:
         self.max_num_seqs = max_num_seqs
         self.kv_page_size = kv_page_size
         self.vision_batch = max(1, int(vision_batch))
+        # chunked prefill (vLLM enable_chunked_prefill analog): process
+        # prompts in fixed (B, C) sequence chunks against the KV cache
+        # instead of one power-of-2-bucketed pass. One compiled shape
+        # serves every fill/refill regardless of prompt mix, and padded
+        # tokens drop from pow2(bucket) to ceil(L/C)*C. Power of two so
+        # chunk multiples divide the prompt buckets used by the paged
+        # page-commit path.
+        if prefill_chunk is not None:
+            prefill_chunk = int(prefill_chunk)
+            if prefill_chunk < 64 or prefill_chunk & (prefill_chunk - 1):
+                raise ValueError(
+                    "prefill_chunk must be a power of two >= 64")
+        self.prefill_chunk = prefill_chunk
         self.vision = Qwen2VisionTower(cfg.vision)
         self.lm = Qwen2VLModel(cfg)
         self._prefill_fn = None
+        self._chunk_prefill_fn = None
+        self._first_fn = None
         self._decode_fn = None
         self._vision_fn = None
         self.num_system_tokens = self._count_system_tokens()
@@ -276,6 +292,12 @@ class EmbedEngine:
             kv_page_size=int(vcfg.get("kv_page_size",
                                       vcfg.get("block_size", 64))),
             vision_batch=int(vcfg.get("vision_batch", 32)),
+            # vLLM flag name honored; explicit prefill_chunk sets the chunk
+            prefill_chunk=(int(vcfg.get("prefill_chunk", 256))
+                           if (vcfg.get("prefill_chunk") is not None
+                               or bool(vcfg.get("enable_chunked_prefill",
+                                                False)))
+                           else None),
         )
 
     # -- prompt building ----------------------------------------------------
@@ -360,6 +382,58 @@ class EmbedEngine:
 
             self._prefill_fn = prefill
         return self._prefill_fn
+
+    def _get_chunk_prefill_fn(self):
+        """One prefill CHUNK: run (B, C) tokens against the dense caches at
+        write offset ``base`` (absolute positions base..base+C-1). ``window``
+        is the STATIC attention read bound (grows in 256 buckets across
+        chunks). Returns (hidden bf16 (B, C, D), caches)."""
+        if self._chunk_prefill_fn is None:
+            @functools.partial(jax.jit, donate_argnums=(5,),
+                               static_argnums=(7,))
+            def chunk_prefill(params, input_ids, position_ids, image_embeds,
+                              image_mask, caches, base, window):
+                # cache_len = base for the KV write; the model's cached-path
+                # attention uses limit = (base + C) - C + i + 1 = base+i+1,
+                # i.e. exact causality at absolute position base+i.
+                _, hidden, caches = self.lm.apply(
+                    {"params": params}, input_ids=input_ids,
+                    position_ids=position_ids,
+                    image_embeds=image_embeds, image_mask=image_mask,
+                    caches=caches, cache_len=base,
+                    attn_window=window, compute_logits=False,
+                )
+                return hidden.astype(jnp.bfloat16), caches
+
+            self._chunk_prefill_fn = chunk_prefill
+        return self._chunk_prefill_fn
+
+    def _get_first_fn(self):
+        """logits + first-token sampling from the last prompt hidden state
+        (the chunked-prefill tail of _get_prefill_fn's fused epilogue)."""
+        if self._first_fn is None:
+            temperature, top_p = self.temperature, self.top_p
+            block_first_eos = (not self.ignore_eos) and self.min_tokens > 1
+            eos_arr = jnp.asarray(
+                self.eos_ids if self.eos_ids else [-1], jnp.int32
+            )
+
+            @jax.jit
+            def first_fn(params, last_hidden, rng):
+                logits = self.lm.apply(
+                    {"params": params}, last_hidden.astype(self.cfg.dtype),
+                    method=self.lm.logits,
+                )
+                if block_first_eos:
+                    logits = jnp.where(
+                        jnp.isin(jnp.arange(logits.shape[-1]),
+                                 eos_arr)[None],
+                        -jnp.inf, logits.astype(jnp.float32),
+                    )
+                return sample_logits(rng, logits, temperature, top_p)
+
+            self._first_fn = first_fn
+        return self._first_fn
 
     def _get_decode_fn(self, max_steps: int, min_tokens: int,
                        temperature: float, top_p: float):
@@ -522,6 +596,9 @@ class EmbedEngine:
 
         Returns (first (m,), hidden np f32 (m, pad, D), caches, prompt_lens,
         last_idx np, start_pos np)."""
+        if self.prefill_chunk:
+            return self._prefill_chunked(prepared, max_tokens, rng,
+                                         cache_size=cache_size)
         import ml_dtypes
 
         m = len(prepared)
@@ -561,6 +638,81 @@ class EmbedEngine:
             jnp.asarray(last_idx), rng,
         )
         hidden = np.asarray(hidden_dev).astype(np.float32)
+        start_pos = np.asarray(
+            [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
+            np.int32)
+        return (first, hidden, caches, prompt_lens, last_idx, start_pos)
+
+    def _prefill_chunked(self, prepared, max_tokens, rng, cache_size=None):
+        """Chunked prefill: same contract as _prefill, but the prompt runs
+        in fixed (m, C) sequence chunks against the caches (write offset
+        k*C per chunk) instead of one bucketed pass. ceil(Lmax/C)*C padded
+        tokens instead of pow2(Lmax), and every fill/refill reuses the one
+        (m, C) compiled shape. vLLM's enable_chunked_prefill analog
+        (reference serves via vLLM — mllama_vllm_generate_1.py:382-413).
+
+        Correctness of the cache formulation: chunk k's queries sit at
+        absolute positions kC+i; decode_attention's per-query limit with
+        cache_len=kC and Tq=C is exactly kC+i+1 (strict causality). Rows
+        whose prompt ended before kC write garbage KV at positions >= L,
+        but any LATER chunk's valid queries exist only if chunk k was
+        fully valid — and decode overwrites position L onward — so
+        garbage keys are only ever attended by garbage queries."""
+        import ml_dtypes
+
+        m = len(prepared)
+        prompt_lens = [len(p["ids"]) for p in prepared]
+        bucket = 1 << max(6, (max(prompt_lens) - 1).bit_length())
+        bucket = min(bucket, self.max_prompt_len)
+        assert max(prompt_lens) <= bucket, "prompt exceeds max_prompt_len"
+        cache_size = cache_size or (bucket + max_tokens)
+        # chunk must divide the pow2 bucket so n_chunks*C <= bucket: the
+        # paged commit path sizes its page copies from the caller's bucket
+        c = min(self.prefill_chunk, bucket)
+        n_chunks = -(-max(prompt_lens) // c)
+        pad_to = n_chunks * c
+        assert pad_to <= cache_size
+
+        input_ids = np.zeros((m, pad_to), np.int32)
+        positions = np.zeros((3, m, pad_to), np.int32)
+        img_embeds = np.zeros((m, pad_to, self.cfg.hidden_size),
+                              ml_dtypes.bfloat16)
+        img_mask = np.zeros((m, pad_to), np.int32)
+        for i, p in enumerate(prepared):
+            L = prompt_lens[i]
+            input_ids[i, :L] = p["ids"]
+            positions[:, i, :L] = p["pos"]
+            if p["img_rows"] is not None:
+                img_embeds[i, p["img_local_idx"]] = p["img_rows"]
+                img_mask[i, p["img_local_idx"]] = 1
+
+        hd = self.cfg.head_dim
+        caches = [
+            (jnp.zeros((m, self.cfg.num_kv_heads, cache_size, hd),
+                       self.cfg.dtype),
+             jnp.zeros((m, self.cfg.num_kv_heads, cache_size, hd),
+                       self.cfg.dtype))
+            for _ in range(self.cfg.num_layers)
+        ]
+        fn = self._get_chunk_prefill_fn()
+        hid_chunks = []
+        for k in range(n_chunks):
+            sl = slice(k * c, (k + 1) * c)
+            window = min(-(-((k + 1) * c) // 256) * 256, cache_size)
+            hidden_k, caches = fn(
+                self.params["lm"], jnp.asarray(input_ids[:, sl]),
+                jnp.asarray(positions[:, :, sl]),
+                jnp.asarray(img_embeds[:, sl]),
+                jnp.asarray(img_mask[:, sl]), caches,
+                jnp.full((m,), k * c, jnp.int32), window,
+            )
+            hid_chunks.append(hidden_k)
+        hidden = np.concatenate(
+            [np.asarray(h) for h in hid_chunks], axis=1
+        ).astype(np.float32)
+        last_idx = np.asarray(prompt_lens) - 1
+        last_hidden = jnp.asarray(hidden[np.arange(m), last_idx])
+        first = self._get_first_fn()(self.params["lm"], last_hidden, rng)
         start_pos = np.asarray(
             [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
             np.int32)
