@@ -66,6 +66,9 @@ def main():
                              "so lengths are emulated via the stop hook)")
     parser.add_argument("--json", type=str, default="",
                         help="append one JSON result line to this file")
+    parser.add_argument("--prefill-chunk", type=int, default=0,
+                        help="chunked prefill size (power of two >= 64; "
+                             "0 = bucketed one-shot prefill)")
     args = parser.parse_args()
 
     import jax
@@ -107,6 +110,7 @@ def main():
         temperature=0.6, top_p=0.9, ignore_eos=True, eos_ids=[],
         min_pixels=56 * 56, max_pixels=1280 * 28 * 28,
         max_num_seqs=max(slots, 16), kv_page_size=args.page_size,
+        prefill_chunk=args.prefill_chunk or None,
     )
     rs = np.random.RandomState(0)
     imgs = [Image.fromarray(
@@ -167,6 +171,7 @@ def main():
         "image_size": args.image_size, "quant": args.quant,
         "fused": fused, "page_size": args.page_size,
         "chunk": args.chunk, "mean_len": args.mean_len,
+        "prefill_chunk": args.prefill_chunk,
         "iters_s": [round(t, 3) for t in iter_times],
         "imgs_per_s_median": round(per_batch / med, 3),
         "imgs_per_s_best": round(per_batch / best, 3),

@@ -661,6 +661,12 @@ class EmbedEngine:
         import ml_dtypes
 
         m = len(prepared)
+        # batch-size bucket: refill groups vary 1..slots per call and every
+        # distinct m is a fresh 28-layer trace+compile (tens of seconds on
+        # the axon tunnel); padding m to a power of two keeps the compiled
+        # (m_pad, C) shape set logarithmic. Dummy rows cost one chunk's
+        # FLOPs each and are sliced off everywhere below.
+        m_pad = 1 << max(0, (m - 1).bit_length())
         prompt_lens = [len(p["ids"]) for p in prepared]
         bucket = 1 << max(6, (max(prompt_lens) - 1).bit_length())
         bucket = min(bucket, self.max_prompt_len)
@@ -673,11 +679,11 @@ class EmbedEngine:
         pad_to = n_chunks * c
         assert pad_to <= cache_size
 
-        input_ids = np.zeros((m, pad_to), np.int32)
-        positions = np.zeros((3, m, pad_to), np.int32)
-        img_embeds = np.zeros((m, pad_to, self.cfg.hidden_size),
+        input_ids = np.zeros((m_pad, pad_to), np.int32)
+        positions = np.zeros((3, m_pad, pad_to), np.int32)
+        img_embeds = np.zeros((m_pad, pad_to, self.cfg.hidden_size),
                               ml_dtypes.bfloat16)
-        img_mask = np.zeros((m, pad_to), np.int32)
+        img_mask = np.zeros((m_pad, pad_to), np.int32)
         for i, p in enumerate(prepared):
             L = prompt_lens[i]
             input_ids[i, :L] = p["ids"]
@@ -688,9 +694,9 @@ class EmbedEngine:
 
         hd = self.cfg.head_dim
         caches = [
-            (jnp.zeros((m, self.cfg.num_kv_heads, cache_size, hd),
+            (jnp.zeros((m_pad, self.cfg.num_kv_heads, cache_size, hd),
                        self.cfg.dtype),
-             jnp.zeros((m, self.cfg.num_kv_heads, cache_size, hd),
+             jnp.zeros((m_pad, self.cfg.num_kv_heads, cache_size, hd),
                        self.cfg.dtype))
             for _ in range(self.cfg.num_layers)
         ]
@@ -704,15 +710,19 @@ class EmbedEngine:
                 jnp.asarray(positions[:, :, sl]),
                 jnp.asarray(img_embeds[:, sl]),
                 jnp.asarray(img_mask[:, sl]), caches,
-                jnp.full((m,), k * c, jnp.int32), window,
+                jnp.full((m_pad,), k * c, jnp.int32), window,
             )
             hid_chunks.append(hidden_k)
+        if m_pad != m:
+            caches = jax.tree.map(lambda a: a[:m], caches)
         hidden = np.concatenate(
-            [np.asarray(h) for h in hid_chunks], axis=1
+            [np.asarray(h)[:m] for h in hid_chunks], axis=1
         ).astype(np.float32)
         last_idx = np.asarray(prompt_lens) - 1
-        last_hidden = jnp.asarray(hidden[np.arange(m), last_idx])
-        first = self._get_first_fn()(self.params["lm"], last_hidden, rng)
+        last_hidden = np.zeros((m_pad, hidden.shape[-1]), np.float32)
+        last_hidden[:m] = hidden[np.arange(m), last_idx]
+        first = self._get_first_fn()(
+            self.params["lm"], jnp.asarray(last_hidden), rng)[:m]
         start_pos = np.asarray(
             [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
             np.int32)
