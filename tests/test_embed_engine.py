@@ -306,6 +306,25 @@ def test_chunked_prefill_matches_dense_prefill():
             rtol=2e-2, atol=2e-2)
 
 
+def test_chunked_prefill_non_multiple_max_prompt_len():
+    """max_prompt_len not a multiple of the chunk (bucket clamps to it):
+    the tail chunk must narrow instead of overrunning the cache (the
+    round-3 review crash: bucket=192, C=128 -> pad 256 > cache)."""
+    engine = make_engine(max_tokens=4, min_tokens=2, temperature=0.0)
+    engine.max_prompt_len = 192
+    long_prompt = " ".join(f"w{j}" for j in range(160))
+    dense = engine.generate({"prompts": [long_prompt, "short one"]}, seed=2)
+    engine.prefill_chunk = 128
+    chunked = engine.generate({"prompts": [long_prompt, "short one"]},
+                              seed=2)
+    engine.prefill_chunk = None
+    assert dense.output_token_ids == chunked.output_token_ids
+    for i in range(2):
+        np.testing.assert_allclose(
+            chunked.prompt_hidden_states[i], dense.prompt_hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+
+
 def test_generate_many_paged_with_chunked_prefill():
     """Chunked prefill composes with the paged-KV scheduler: page commit
     reads the same dense-cache layout the bucketed prefill produces."""

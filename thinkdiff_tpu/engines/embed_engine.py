@@ -293,11 +293,11 @@ class EmbedEngine:
                                       vcfg.get("block_size", 64))),
             vision_batch=int(vcfg.get("vision_batch", 32)),
             # vLLM flag name honored; explicit prefill_chunk sets the chunk
-            prefill_chunk=(int(vcfg.get("prefill_chunk", 256))
-                           if (vcfg.get("prefill_chunk") is not None
-                               or bool(vcfg.get("enable_chunked_prefill",
-                                                False)))
-                           else None),
+            # (0/None/absent = bucketed one-shot prefill)
+            prefill_chunk=(int(vcfg.get("prefill_chunk") or 0)
+                           or (256 if bool(vcfg.get("enable_chunked_prefill",
+                                                    False)) else None)
+                           or None),
         )
 
     # -- prompt building ----------------------------------------------------
@@ -349,11 +349,7 @@ class EmbedEngine:
         full-sequence logits (a (B, T, 152k) f32 device->host transfer over
         the tunnel was the dominant cost of the naive formulation)."""
         if self._prefill_fn is None:
-            temperature, top_p = self.temperature, self.top_p
-            block_first_eos = (not self.ignore_eos) and self.min_tokens > 1
-            eos_arr = jnp.asarray(
-                self.eos_ids if self.eos_ids else [-1], jnp.int32
-            )
+            sample_first = self._make_first_sampler()
 
             @functools.partial(jax.jit, donate_argnums=(6,))
             def prefill(params, input_ids, position_ids, mask, image_embeds,
@@ -371,31 +367,51 @@ class EmbedEngine:
                 last_logits = self.lm.apply(
                     {"params": params}, last_hidden, method=self.lm.logits
                 )
-                if block_first_eos:
-                    last_logits = jnp.where(
-                        jnp.isin(jnp.arange(last_logits.shape[-1]),
-                                 eos_arr)[None],
-                        -jnp.inf, last_logits.astype(jnp.float32),
-                    )
-                first = sample_logits(rng, last_logits, temperature, top_p)
+                first = sample_first(last_logits, rng)
                 return first, hidden.astype(jnp.bfloat16), caches
 
             self._prefill_fn = prefill
         return self._prefill_fn
 
+    def _make_first_sampler(self):
+        """Shared first-token epilogue (EOS blocking for min_tokens +
+        temp/top_p sampling) — ONE policy for the fused one-shot prefill
+        and the chunked-prefill tail, so a min_tokens/EOS change cannot
+        silently diverge the two paths."""
+        temperature, top_p = self.temperature, self.top_p
+        block_first_eos = (not self.ignore_eos) and self.min_tokens > 1
+        eos_arr = jnp.asarray(
+            self.eos_ids if self.eos_ids else [-1], jnp.int32
+        )
+
+        def sample_first(logits, rng):
+            if block_first_eos:
+                logits = jnp.where(
+                    jnp.isin(jnp.arange(logits.shape[-1]), eos_arr)[None],
+                    -jnp.inf, logits.astype(jnp.float32),
+                )
+            return sample_logits(rng, logits, temperature, top_p)
+
+        return sample_first
+
     def _get_chunk_prefill_fn(self):
         """One prefill CHUNK: run (B, C) tokens against the dense caches at
         write offset ``base`` (absolute positions base..base+C-1). ``window``
         is the STATIC attention read bound (grows in 256 buckets across
-        chunks). Returns (hidden bf16 (B, C, D), caches)."""
+        chunks). ``last_acc`` accumulates each row's last-prompt-token hidden
+        state ON DEVICE (rows whose ``last_idx`` falls in this chunk update),
+        so first-token sampling never waits on the host hidden transfer.
+        Returns (hidden bf16 (B, C, D), caches, last_acc)."""
         if self._chunk_prefill_fn is None:
-            @functools.partial(jax.jit, donate_argnums=(5,),
-                               static_argnums=(7,))
+            @functools.partial(jax.jit, donate_argnums=(5, 7),
+                               static_argnums=(9,))
             def chunk_prefill(params, input_ids, position_ids, image_embeds,
-                              image_mask, caches, base, window):
+                              image_mask, caches, base, last_acc, last_idx,
+                              window):
                 # cache_len = base for the KV write; the model's cached-path
                 # attention uses limit = (base + C) - C + i + 1 = base+i+1,
                 # i.e. exact causality at absolute position base+i.
+                b, c = input_ids.shape
                 _, hidden, caches = self.lm.apply(
                     {"params": params}, input_ids=input_ids,
                     position_ids=position_ids,
@@ -403,7 +419,12 @@ class EmbedEngine:
                     caches=caches, cache_len=base,
                     attn_window=window, compute_logits=False,
                 )
-                return hidden.astype(jnp.bfloat16), caches
+                rel = last_idx - base
+                rows = hidden[jnp.arange(b), jnp.clip(rel, 0, c - 1)]
+                last_acc = jnp.where(
+                    ((rel >= 0) & (rel < c))[:, None],
+                    rows.astype(last_acc.dtype), last_acc)
+                return hidden.astype(jnp.bfloat16), caches, last_acc
 
             self._chunk_prefill_fn = chunk_prefill
         return self._chunk_prefill_fn
@@ -412,11 +433,7 @@ class EmbedEngine:
         """logits + first-token sampling from the last prompt hidden state
         (the chunked-prefill tail of _get_prefill_fn's fused epilogue)."""
         if self._first_fn is None:
-            temperature, top_p = self.temperature, self.top_p
-            block_first_eos = (not self.ignore_eos) and self.min_tokens > 1
-            eos_arr = jnp.asarray(
-                self.eos_ids if self.eos_ids else [-1], jnp.int32
-            )
+            sample_first = self._make_first_sampler()
 
             @jax.jit
             def first_fn(params, last_hidden, rng):
@@ -424,13 +441,7 @@ class EmbedEngine:
                     {"params": params}, last_hidden.astype(self.cfg.dtype),
                     method=self.lm.logits,
                 )
-                if block_first_eos:
-                    logits = jnp.where(
-                        jnp.isin(jnp.arange(logits.shape[-1]),
-                                 eos_arr)[None],
-                        -jnp.inf, logits.astype(jnp.float32),
-                    )
-                return sample_logits(rng, logits, temperature, top_p)
+                return sample_first(logits, rng)
 
             self._first_fn = first_fn
         return self._first_fn
@@ -591,6 +602,30 @@ class EmbedEngine:
                                  img_local_idx=img_local_idx))
         return prepared
 
+    def _pack_prompt_buffers(self, prepared, rows, pad_to):
+        """Host-side padded prompt buffers shared by both prefill paths.
+        Returns (input_ids, mask, positions, img_embeds, img_mask) with
+        ``rows >= len(prepared)`` rows (extra bucket-padding rows stay
+        zero). img_embeds is a bf16 host buffer: halves the host->device
+        upload over the tunnel."""
+        import ml_dtypes
+
+        input_ids = np.zeros((rows, pad_to), np.int32)
+        mask = np.zeros((rows, pad_to), np.int32)
+        positions = np.zeros((3, rows, pad_to), np.int32)
+        img_embeds = np.zeros((rows, pad_to, self.cfg.hidden_size),
+                              ml_dtypes.bfloat16)
+        img_mask = np.zeros((rows, pad_to), np.int32)
+        for i, p in enumerate(prepared):
+            L = len(p["ids"])
+            input_ids[i, :L] = p["ids"]
+            mask[i, :L] = 1
+            positions[:, i, :L] = p["pos"]
+            if p["img_rows"] is not None:
+                img_embeds[i, p["img_local_idx"]] = p["img_rows"]
+                img_mask[i, p["img_local_idx"]] = 1
+        return input_ids, mask, positions, img_embeds, img_mask
+
     def _prefill(self, prepared, max_tokens, rng, cache_size=None):
         """Padded-buffer prefill over a request list.
 
@@ -599,8 +634,6 @@ class EmbedEngine:
         if self.prefill_chunk:
             return self._prefill_chunked(prepared, max_tokens, rng,
                                          cache_size=cache_size)
-        import ml_dtypes
-
         m = len(prepared)
         prompt_lens = [len(p["ids"]) for p in prepared]
         pad_to = 1 << max(6, (max(prompt_lens) - 1).bit_length())  # bucket
@@ -608,21 +641,8 @@ class EmbedEngine:
         assert max(prompt_lens) <= pad_to, "prompt exceeds max_prompt_len"
         cache_size = cache_size or (pad_to + max_tokens)
 
-        input_ids = np.zeros((m, pad_to), np.int32)
-        mask = np.zeros((m, pad_to), np.int32)
-        positions = np.zeros((3, m, pad_to), np.int32)
-        # bf16 host buffer: halves the host->device upload over the tunnel
-        img_embeds = np.zeros((m, pad_to, self.cfg.hidden_size),
-                              ml_dtypes.bfloat16)
-        img_mask = np.zeros((m, pad_to), np.int32)
-        for i, p in enumerate(prepared):
-            L = prompt_lens[i]
-            input_ids[i, :L] = p["ids"]
-            mask[i, :L] = 1
-            positions[:, i, :L] = p["pos"]
-            if p["img_rows"] is not None:
-                img_embeds[i, p["img_local_idx"]] = p["img_rows"]
-                img_mask[i, p["img_local_idx"]] = 1
+        input_ids, mask, positions, img_embeds, img_mask = \
+            self._pack_prompt_buffers(prepared, m, pad_to)
 
         hd = self.cfg.head_dim
         caches = [
@@ -657,9 +677,13 @@ class EmbedEngine:
         whose prompt ended before kC write garbage KV at positions >= L,
         but any LATER chunk's valid queries exist only if chunk k was
         fully valid — and decode overwrites position L onward — so
-        garbage keys are only ever attended by garbage queries."""
-        import ml_dtypes
+        garbage keys are only ever attended by garbage queries.
 
+        Sampling note: with temperature > 0 the first token is drawn over
+        the m_pad-padded logits batch, so it is NOT bit-identical to the
+        dense path under the same seed (the perf knob preserves the
+        sampling distribution, not the draw); greedy decoding matches
+        exactly (tested)."""
         m = len(prepared)
         # batch-size bucket: refill groups vary 1..slots per call and every
         # distinct m is a fresh 28-layer trace+compile (tens of seconds on
@@ -672,25 +696,17 @@ class EmbedEngine:
         bucket = min(bucket, self.max_prompt_len)
         assert max(prompt_lens) <= bucket, "prompt exceeds max_prompt_len"
         cache_size = cache_size or (bucket + max_tokens)
-        # chunk must divide the pow2 bucket so n_chunks*C <= bucket: the
-        # paged commit path sizes its page copies from the caller's bucket
+        # the chunk grid is clamped to the pow2 bucket: when max_prompt_len
+        # is not a multiple of C (bucket clamped to it), the LAST chunk
+        # narrows to bucket - k*C instead of overrunning the cache (the
+        # paged commit path sizes its page copies from the caller's bucket)
         c = min(self.prefill_chunk, bucket)
         n_chunks = -(-max(prompt_lens) // c)
-        pad_to = n_chunks * c
+        pad_to = min(n_chunks * c, bucket)
         assert pad_to <= cache_size
 
-        input_ids = np.zeros((m_pad, pad_to), np.int32)
-        positions = np.zeros((3, m_pad, pad_to), np.int32)
-        img_embeds = np.zeros((m_pad, pad_to, self.cfg.hidden_size),
-                              ml_dtypes.bfloat16)
-        img_mask = np.zeros((m_pad, pad_to), np.int32)
-        for i, p in enumerate(prepared):
-            L = prompt_lens[i]
-            input_ids[i, :L] = p["ids"]
-            positions[:, i, :L] = p["pos"]
-            if p["img_rows"] is not None:
-                img_embeds[i, p["img_local_idx"]] = p["img_rows"]
-                img_mask[i, p["img_local_idx"]] = 1
+        input_ids, _, positions, img_embeds, img_mask = \
+            self._pack_prompt_buffers(prepared, m_pad, pad_to)
 
         hd = self.cfg.head_dim
         caches = [
@@ -700,29 +716,30 @@ class EmbedEngine:
                        self.cfg.dtype))
             for _ in range(self.cfg.num_layers)
         ]
+        last_idx = np.asarray(prompt_lens) - 1
+        last_idx_dev = jnp.zeros((m_pad,), jnp.int32).at[:m].set(
+            jnp.asarray(last_idx, jnp.int32))
+        last_acc = jnp.zeros((m_pad, self.cfg.hidden_size), self.cfg.dtype)
         fn = self._get_chunk_prefill_fn()
         hid_chunks = []
         for k in range(n_chunks):
-            sl = slice(k * c, (k + 1) * c)
-            window = min(-(-((k + 1) * c) // 256) * 256, cache_size)
-            hidden_k, caches = fn(
-                self.params["lm"], jnp.asarray(input_ids[:, sl]),
-                jnp.asarray(positions[:, :, sl]),
-                jnp.asarray(img_embeds[:, sl]),
-                jnp.asarray(img_mask[:, sl]), caches,
-                jnp.full((m_pad,), k * c, jnp.int32), window,
+            lo, hi = k * c, min((k + 1) * c, pad_to)
+            window = min(-(-hi // 256) * 256, cache_size)
+            hidden_k, caches, last_acc = fn(
+                self.params["lm"], jnp.asarray(input_ids[:, lo:hi]),
+                jnp.asarray(positions[:, :, lo:hi]),
+                jnp.asarray(img_embeds[:, lo:hi]),
+                jnp.asarray(img_mask[:, lo:hi]), caches,
+                jnp.full((m_pad,), lo, jnp.int32), last_acc, last_idx_dev,
+                window,
             )
             hid_chunks.append(hidden_k)
+        first = self._get_first_fn()(self.params["lm"], last_acc, rng)[:m]
         if m_pad != m:
             caches = jax.tree.map(lambda a: a[:m], caches)
         hidden = np.concatenate(
             [np.asarray(h)[:m] for h in hid_chunks], axis=1
         ).astype(np.float32)
-        last_idx = np.asarray(prompt_lens) - 1
-        last_hidden = np.zeros((m_pad, hidden.shape[-1]), np.float32)
-        last_hidden[:m] = hidden[np.arange(m), last_idx]
-        first = self._get_first_fn()(
-            self.params["lm"], jnp.asarray(last_hidden), rng)[:m]
         start_pos = np.asarray(
             [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
             np.int32)
