@@ -149,3 +149,24 @@ def test_mesh_tiny_dims_fall_back_to_replication():
     params = {"q_proj": {"kernel": jnp.ones((3, 5))}}  # indivisible
     sharded = shard_params(params, mesh)
     assert sharded["q_proj"]["kernel"].sharding.is_fully_replicated
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """The persistent-cache helper points jax at the configured dir and is
+    idempotent; THINKDIFF_COMPILE_CACHE=0 opts out."""
+    import thinkdiff_tpu.core.distributed as dist
+
+    monkeypatch.setattr(dist, "_cache_enabled", False)
+    monkeypatch.setenv("THINKDIFF_COMPILE_CACHE", str(tmp_path / "xla"))
+    dist.enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+    assert (tmp_path / "xla").is_dir()
+    # idempotent: a second call with a different env does not re-point
+    monkeypatch.setenv("THINKDIFF_COMPILE_CACHE", str(tmp_path / "other"))
+    dist.enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+    # opt-out honored on a fresh module state
+    monkeypatch.setattr(dist, "_cache_enabled", False)
+    monkeypatch.setenv("THINKDIFF_COMPILE_CACHE", "0")
+    dist.enable_compilation_cache()
+    assert not dist._cache_enabled

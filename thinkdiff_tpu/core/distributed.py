@@ -18,6 +18,39 @@ import jax
 logger = logging.getLogger(__name__)
 
 _initialized = False
+_cache_enabled = False
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    A fresh serving/bench/train process otherwise recompiles every jitted
+    shape from scratch — measured ~8 min of cold-start for the embed
+    engine at the precompute operating point over the axon tunnel. The
+    reference's stack pays the analogous cost once via torch/vLLM CUDA
+    kernel caches; this is the XLA equivalent. Opt out with
+    ``THINKDIFF_COMPILE_CACHE=0``; override the location with
+    ``THINKDIFF_COMPILE_CACHE`` or ``JAX_COMPILATION_CACHE_DIR``.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    env = os.environ.get("THINKDIFF_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    path = (env if env not in ("", "1") else None) or path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/thinkdiff_tpu/xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache anything that took meaningful compile time; the default
+        # (1 s) skips the many small host-utility jits
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_enabled = True
+        logger.info("persistent compilation cache at %s", path)
+    except Exception as e:  # unsupported backend/config — run uncached
+        logger.warning("compilation cache disabled: %s", e)
 
 
 def init_distributed_mode(run_cfg=None) -> None:
@@ -47,6 +80,7 @@ def init_distributed_mode(run_cfg=None) -> None:
         run_cfg["rank"] = get_rank()
         run_cfg["world_size"] = get_world_size()
         run_cfg["distributed"] = get_world_size() > 1
+    enable_compilation_cache()
     _initialized = True
     logger.info(
         "process %d/%d, %d local / %d global devices",

@@ -171,6 +171,11 @@ class EmbedEngine:
                  max_num_seqs: int = 16, kv_page_size: int = 64,
                  vision_batch: int = 32,
                  prefill_chunk: Optional[int] = None):
+        from thinkdiff_tpu.core.distributed import enable_compilation_cache
+
+        # serving cold-start: persist compiled executables across engine
+        # processes (~8 min of prefill/decode/vision compiles otherwise)
+        enable_compilation_cache()
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
