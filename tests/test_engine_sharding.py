@@ -92,6 +92,16 @@ def test_embed_engine_on_mesh():
     )
     assert result.output_token_ids == result_1dev.output_token_ids
 
+    # chunked prefill composes with GSPMD serving: the (m_pad, C) chunk
+    # fn runs against sharded params/caches and must reproduce the mesh
+    # one-shot greedy result exactly
+    engine.prefill_chunk = 64
+    result_chunked = engine.generate(
+        {"images": imgs, "answers": [f"q{i}" for i in range(8)]}, seed=0
+    )
+    engine.prefill_chunk = None
+    assert result.output_token_ids == result_chunked.output_token_ids
+
 
 def test_flux_sampler_on_mesh():
     mesh = make_mesh(data=2, fsdp=2, model=2)
