@@ -115,6 +115,34 @@ def build_batches_packed(rs, n_batches, rows, enc_cap, dec_cap, d_vlm,
     return batches, n_samples
 
 
+def wait_for_devices(max_wait_s: float = 900.0) -> None:
+    """Poll device enumeration until the backend answers.
+
+    The axon TPU tunnel flaps occasionally (remote_compile 'Connection
+    refused' was observed mid-round); a transient outage at bench time
+    must not cost the round its artifact. Device discovery runs in a
+    subprocess because a hung PJRT client poisons the parent process."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=120,
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:  # hung enumeration = tunnel down
+            ok = False
+        if ok:
+            return
+        if time.time() > deadline:
+            raise RuntimeError(
+                "no usable jax devices after %.0f s" % max_wait_s)
+        time.sleep(30)
+
+
 def main():
     import jax
 
@@ -185,4 +213,5 @@ def main():
 
 
 if __name__ == "__main__":
+    wait_for_devices()
     main()
