@@ -361,3 +361,85 @@ def test_generate_many_paged_contract_large_slots():
         for j, t in enumerate(toks[:-1]):
             assert not (t in engine.eos_ids and j >= 1), (i, toks)
         assert f"item {i}" in res.input_prompts[i]
+
+
+def test_prompt_format_branches():
+    """Per-VLM message shapes mirror the reference's branches
+    (mllama_vllm_generate_1.py:550-574): qwen2_vl carries a system turn,
+    internvl is a bare user turn with '<image>\\n' before the prompt,
+    generic is a bare user turn of [image, text]."""
+    from thinkdiff_tpu.engines.embed_engine import (
+        prompt_format_for_model, render_chat_prompt)
+
+    assert prompt_format_for_model("Qwen/Qwen2-VL-2B-Instruct") == "qwen2_vl"
+    assert prompt_format_for_model("Qwen/Qwen2-VL-72B-Instruct") == "qwen2_vl"
+    assert prompt_format_for_model("OpenGVLab/InternVL2-8B") == "internvl"
+    assert prompt_format_for_model("llava-hf/llava-1.5-7b-hf") == "generic"
+
+    q = render_chat_prompt("sys", "hi", 1, fmt="qwen2_vl")
+    assert q.startswith("<|im_start|>system\nsys<|im_end|>\n")
+    assert "<|vision_start|><|image_pad|><|vision_end|>hi" in q
+
+    iv = render_chat_prompt("sys", "hi", 1, fmt="internvl")
+    assert "system" not in iv
+    assert "<|vision_end|>\nhi" in iv  # <image>\n{prompt} layout
+
+    g = render_chat_prompt("sys", "hi", 2, fmt="generic")
+    assert "system" not in g
+    assert g.count("<|image_pad|>") == 2
+    assert "<|vision_end|>hi" in g
+
+
+def test_prompt_format_system_token_count():
+    """input_no_system offset arithmetic: non-qwen formats have no system
+    preamble, so the skip count must be 0."""
+    cfg = Qwen2VLConfig.tiny()
+    rng = jax.random.PRNGKey(0)
+    vision = Qwen2VisionTower(cfg.vision)
+    lm = Qwen2VLModel(cfg)
+    vp = vision.init(
+        rng, jnp.zeros((4, cfg.vision.patch_dim)),
+        jnp.zeros((4, cfg.vision.head_dim // 2)),
+        jnp.zeros((4, cfg.vision.head_dim // 2)), None,
+    )["params"]
+    lp = lm.init(
+        rng, input_ids=jnp.zeros((1, 4), jnp.int32),
+        position_ids=jnp.zeros((3, 1, 4), jnp.int32),
+    )["params"]
+    params = {"vision": vp, "lm": lp}
+    e_q = EmbedEngine(cfg, params, FakeTokenizer(), prompt_format="qwen2_vl")
+    e_iv = EmbedEngine(cfg, params, FakeTokenizer(), prompt_format="internvl")
+    assert e_q.num_system_tokens > 0
+    assert e_iv.num_system_tokens == 0
+    # and the rendered prompt the engine tokenizes matches the format
+    _, ids_q = e_q.build_prompt("hello", 0, [])
+    _, ids_iv = e_iv.build_prompt("hello", 0, [])
+    assert len(ids_q) > len(ids_iv)
+
+
+def test_llava_leading_space_strip():
+    """Reference strips ONE leading space from llava generations
+    (mllama_vllm_generate_1.py:606-609)."""
+    from thinkdiff_tpu.engines.embed_engine import MllamaVllmGenerateModel
+
+    class _FakeEngine:
+        cfg = Qwen2VLConfig.tiny()
+        min_pixels, max_pixels = 8 * 8, 64 * 64
+
+        def generate_many(self, sub, seed=0, slots=0):
+            n = len(sub["answers"])
+
+            class R:
+                texts = [" leading space kept once" for _ in range(n)]
+                input_prompts = ["p"] * n
+                prompt_token_ids = [[1]] * n
+                output_token_ids = [[2]] * n
+                prompt_hidden_states = [np.zeros((1, 4))] * n
+                hidden_states = [np.zeros((1, 4))] * n
+            return R()
+
+    cfg = {"mllama_model_id": "llava-hf/llava-1.5-7b-hf",
+           "text_input_key": "captions", "vllm_config": {"max_num_seqs": 4}}
+    m = MllamaVllmGenerateModel(cfg, engine=_FakeEngine())
+    out = m.forward({"captions": ["a", "b"], "images": [None, None]})
+    assert out["generated_texts"] == ["leading space kept once"] * 2

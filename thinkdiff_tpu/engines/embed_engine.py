@@ -42,21 +42,59 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 DEFAULT_SYSTEM = "You are a helpful assistant."
 
 
-def render_chat_prompt(system_prompt: str, text: str, n_images: int) -> str:
-    """Qwen2-VL chat template string for one user turn with ``n_images``
-    leading images — MUST byte-match HF ``tokenizer.apply_chat_template``
-    (tested in tests/test_goldens.py against real tokenizer files when
-    available) because the reference's vLLM fork tokenizes exactly this
-    (mllama_vllm_generate_1.py:382-417) and the aligner's
-    ``input_no_system`` offset arithmetic counts tokens of this rendering."""
+def render_chat_prompt(system_prompt: str, text: str, n_images: int,
+                       fmt: str = "qwen2_vl") -> str:
+    """Chat template string for one user turn with ``n_images`` leading
+    images. ``fmt='qwen2_vl'`` MUST byte-match HF
+    ``tokenizer.apply_chat_template`` (tested in tests/test_goldens.py
+    against real tokenizer files when available) because the reference's
+    vLLM fork tokenizes exactly this (mllama_vllm_generate_1.py:382-417)
+    and the aligner's ``input_no_system`` offset arithmetic counts tokens
+    of this rendering.
+
+    The other branches mirror the reference's per-VLM message shapes
+    (mllama_vllm_generate_1.py:550-574): ``internvl`` = single user turn
+    with ``<image>\\n`` before the prompt and NO system turn; ``generic``
+    = single user turn of [image, text] with NO system turn. They are
+    rendered in the serving tokenizer's chat markup (the engine runs
+    Qwen2-VL-family models) — what they preserve from the reference is
+    the message structure: system-turn presence and image/text layout."""
     vision_parts = "".join(
         "<|vision_start|><|image_pad|><|vision_end|>" for _ in range(n_images)
     )
+    if fmt == "internvl":
+        return (
+            f"<|im_start|>user\n{vision_parts}\n{text}<|im_end|>\n"
+            f"<|im_start|>assistant\n"
+        )
+    if fmt == "generic":
+        return (
+            f"<|im_start|>user\n{vision_parts}{text}<|im_end|>\n"
+            f"<|im_start|>assistant\n"
+        )
     return (
         f"<|im_start|>system\n{system_prompt}<|im_end|>\n"
         f"<|im_start|>user\n{vision_parts}{text}<|im_end|>\n"
         f"<|im_start|>assistant\n"
     )
+
+
+# model-id -> prompt format, per the reference's branch conditions
+# (mllama_vllm_generate_1.py:550-574: exact Qwen2-VL id list; "InternVL"
+# substring; everything else generic)
+_QWEN2_VL_IDS = ("Qwen2-VL-2B-Instruct", "Qwen2-VL-7B-Instruct",
+                 "Qwen2-VL-72B-Instruct")
+# llava ids whose generations carry a leading space the reference strips
+# (mllama_vllm_generate_1.py:606-609)
+_LLAVA_LEADING_SPACE_IDS = ("llava-v1.6-mistral-7b-hf", "llava-1.5-7b-hf")
+
+
+def prompt_format_for_model(model_id: str) -> str:
+    if any(q in str(model_id) for q in _QWEN2_VL_IDS):
+        return "qwen2_vl"
+    if "InternVL" in str(model_id):
+        return "internvl"
+    return "generic"
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +208,8 @@ class EmbedEngine:
                  limit_images_per_prompt: Optional[int] = None, mesh=None,
                  max_num_seqs: int = 16, kv_page_size: int = 64,
                  vision_batch: int = 32,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 prompt_format: str = "qwen2_vl"):
         from thinkdiff_tpu.core.distributed import enable_compilation_cache
 
         # serving cold-start: persist compiled executables across engine
@@ -217,6 +256,7 @@ class EmbedEngine:
                 raise ValueError(
                     "prefill_chunk must be a power of two >= 64")
         self.prefill_chunk = prefill_chunk
+        self.prompt_format = prompt_format
         self.vision = Qwen2VisionTower(cfg.vision)
         self.lm = Qwen2VLModel(cfg)
         self._prefill_fn = None
@@ -303,6 +343,13 @@ class EmbedEngine:
                            or (256 if bool(vcfg.get("enable_chunked_prefill",
                                                     False)) else None)
                            or None),
+            # per-VLM message shape (reference branches on mllama_model_id,
+            # mllama_vllm_generate_1.py:550-574); explicit knob wins
+            prompt_format=str(
+                vcfg.get("prompt_format", "")
+                or model_cfg.get("prompt_format", "")
+                or prompt_format_for_model(
+                    model_cfg.get("mllama_model_id", path))),
         )
 
     # -- prompt building ----------------------------------------------------
@@ -310,8 +357,8 @@ class EmbedEngine:
         """Length of the tokenized system preamble — the '14 system tokens'
         the reference skips for input_no_system
         (mllama_vllm_t5_embed_decoder_2.py:1107-1109)."""
-        if self.tokenizer is None:
-            return 0
+        if self.tokenizer is None or self.prompt_format != "qwen2_vl":
+            return 0  # internvl/generic renderings carry no system turn
         text = f"<|im_start|>system\n{self.system_prompt}<|im_end|>\n"
         return len(self.tokenizer.encode(text, add_special_tokens=False))
 
@@ -319,7 +366,8 @@ class EmbedEngine:
                      image_token_counts: Sequence[int]) -> Tuple[str, List[int]]:
         """Qwen2-VL chat template with expanded image pads. Returns
         (prompt_text, token_ids)."""
-        prompt = render_chat_prompt(self.system_prompt, text, n_images)
+        prompt = render_chat_prompt(self.system_prompt, text, n_images,
+                                    fmt=self.prompt_format)
         ids = self.tokenizer.encode(prompt, add_special_tokens=False)
         # expand each <|image_pad|> to its per-image token count
         pad_id = self.cfg.image_token_id
@@ -1217,6 +1265,16 @@ class MllamaVllmGenerateModel:
         self.engine = engine if engine is not None else EmbedEngine.from_config(cfg)
         vcfg = cfg.get("vllm_config", {}) or {}
         self.embedding_layer_name = vcfg.get("embedding_layer_name", "model.norm")
+        # which batch key carries the prompts (reference text_input_key,
+        # mllama_vllm_generate_1.py:542-545; None -> "answers")
+        self.text_input_key = cfg.get("text_input_key", None) or "answers"
+        # llava models emit a leading space the reference strips from the
+        # recorded generated text (mllama_vllm_generate_1.py:606-609)
+        model_id = str(cfg.get("mllama_model_id",
+                               cfg.get("mllama_pretrained_model_name_or_path",
+                                       "")))
+        self._strip_leading_space = any(
+            l in model_id for l in _LLAVA_LEADING_SPACE_IDS)
         # device-batch size — the scheduler role vLLM's continuous batcher
         # plays (reference dataset batch_size is 8192 with vLLM scheduling
         # internally; configs/qwen2_vl_embed_ccsbu.yaml max_num_seqs)
@@ -1232,7 +1290,8 @@ class MllamaVllmGenerateModel:
     def forward(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Host batch (any size) -> length-sorted device chunks of
         ``max_num_seqs`` -> merged results in the original order."""
-        n = len(batch["answers"])
+        texts = batch[self.text_input_key]
+        n = len(texts)
         images = batch.get("images", [None] * n)
 
         def est_tokens(i):
@@ -1262,7 +1321,7 @@ class MllamaVllmGenerateModel:
             idxs = order[start: start + group]
             sub = {
                 "images": [images[i] for i in idxs],
-                "answers": [batch["answers"][i] for i in idxs],
+                "answers": [texts[i] for i in idxs],
             }
             result = self.engine.generate_many(
                 sub, seed=start, slots=self.max_num_seqs)
@@ -1273,8 +1332,12 @@ class MllamaVllmGenerateModel:
                     result.prompt_hidden_states[j], result.hidden_states[j],
                 )
         cols = list(zip(*[out[i] for i in range(n)]))
+        gen_texts = list(cols[0])
+        if self._strip_leading_space:
+            gen_texts = [t.replace(" ", "", 1) if t[:1] == " " else t
+                         for t in gen_texts]
         return {
-            "generated_texts": list(cols[0]),
+            "generated_texts": gen_texts,
             "input_prompts": list(cols[1]),
             "prompt_token_ids": list(cols[2]),
             "output_token_ids": list(cols[3]),
