@@ -37,13 +37,15 @@ SHAPES = {
 
 
 def bench(fn, args, iters=8):
-    import jax
+    # block via a scalar device_get: block_until_ready returns early on
+    # the axon tunnel (see .claude/skills/verify — repo-wide gotcha)
+    import jax.numpy as jnp
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out.astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out.astype(jnp.float32)))
     return (time.perf_counter() - t0) / iters
 
 
@@ -87,10 +89,13 @@ def main():
 
         if not have_splash:
             continue
-        # splash wants padded T multiples of its block sizes; sweep a few
+        # splash wants padded T multiples of its block sizes; sweep a few.
+        # Real use must MASK the padded keys — measure with segment ids
+        # (real tokens seg 1, padding seg 0), the correct-numerics config.
         for sbq, sbkv in [(512, 1024), (512, 2048), (1024, 2048),
-                          (2048, 2048), (1024, 4096)]:
-            Tp = ((T + sbkv - 1) // sbkv) * sbkv
+                          (1024, 1024), (512, 4096)]:
+            step = max(sbq, sbkv)  # powers of two: lcm == max
+            Tp = ((T + step - 1) // step) * step
             pad = Tp - T
             qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
             kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -107,12 +112,16 @@ def main():
                 kernel = sk.make_splash_mha(
                     mask=mask, head_shards=1, q_seq_shards=1,
                     block_sizes=block_sizes)
-                fn = jax.jit(jax.vmap(kernel))
-                dt = bench(lambda a, b, c: fn(a, b, c), (qp, kp, vp),
+                seg1 = jnp.asarray(
+                    np.concatenate([np.ones(T, np.int32),
+                                    np.zeros(pad, np.int32)]))
+                segs = sk.SegmentIds(q=seg1, kv=seg1)
+                fn = jax.jit(jax.vmap(kernel, in_axes=(0, 0, 0, None)))
+                dt = bench(lambda a, b, c: fn(a, b, c, segs), (qp, kp, vp),
                            args.iters)
                 # flops accounting uses the REAL T (padding is waste)
                 print(json.dumps({
-                    "shape": name, "kernel": "splash",
+                    "shape": name, "kernel": "splash+seg",
                     "blocks": [sbq, sbkv], "pad_to": Tp,
                     "ms": round(dt * 1e3, 1),
                     "tflops_per_sec": round(flops / dt / 1e12, 1)}))
