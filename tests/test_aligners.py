@@ -129,3 +129,43 @@ def test_reference_projector_checkpoint_conversion(lvlm_model):
     m.load_trainable(converted)
     out = m.project(m.trainable, jnp.ones((1, 2, 24)))
     assert out.shape == (1, 2, 32)
+
+
+def test_reference_projector_checkpoint_export_roundtrip(lvlm_model):
+    """export_reference_checkpoint is the exact inverse of
+    convert_reference_checkpoint — an aligner trained here loads under the
+    reference stack with the original Sequential key layout."""
+    m = lvlm_model
+    sd = m.export_reference_checkpoint(m.trainable_params())
+    assert set(sd) == {
+        "mm_projector.0.weight", "mm_projector.0.bias",
+        "mm_projector.2.weight", "mm_projector.2.bias",
+        "mm_projector.3.weight",
+    }
+    # torch Linear stores (out, in): transposed kernels
+    proj = m.trainable_params()["projector"]
+    assert sd["mm_projector.0.weight"].shape == proj["layer_0"]["kernel"].shape[::-1]
+    back = m.convert_reference_checkpoint(sd)["projector"]
+    for k in ("layer_0", "layer_1"):
+        np.testing.assert_array_equal(back[k]["kernel"],
+                                      np.asarray(proj[k]["kernel"]))
+        np.testing.assert_array_equal(back[k]["bias"],
+                                      np.asarray(proj[k]["bias"]))
+    np.testing.assert_array_equal(back["t5_norm"]["weight"],
+                                  np.asarray(proj["t5_norm"]["weight"]))
+
+
+def test_projector_convert_accepts_bare_linear_form():
+    """Reference projector_type 'linear' is a bare nn.Linear — keys carry
+    no Sequential index (reference blip_vision_t5_decoder.py:34-35)."""
+    from thinkdiff_tpu.models.projector import (
+        convert_projector_torch, export_projector_torch)
+
+    w = np.random.randn(32, 24).astype(np.float32)
+    b = np.random.randn(32).astype(np.float32)
+    flat = convert_projector_torch(
+        {"mm_projector.weight": w, "mm_projector.bias": b})
+    np.testing.assert_array_equal(flat["layer_0"]["kernel"], w.T)
+    out = export_projector_torch(flat, "linear")
+    np.testing.assert_array_equal(out["mm_projector.weight"], w)
+    np.testing.assert_array_equal(out["mm_projector.bias"], b)

@@ -152,6 +152,13 @@ class BlipVisionT5Decoder(BaseModel):
         return {"projector": convert_projector_torch(
             {k: v for k, v in sd.items() if "mm_projector" in k})}
 
+    def export_reference_checkpoint(self, trainable: Dict) -> Dict:
+        from thinkdiff_tpu.models.projector import export_projector_torch
+
+        ptype = (self.cfg.get("mm_projector_type", "mlp2x_gelu_t5_norm")
+                 if getattr(self, "cfg", None) else None)
+        return export_projector_torch(trainable["projector"], ptype)
+
     # -- pure compute -------------------------------------------------------
     def encode_image(self, frozen, pixel_values):
         """pixel_values (B, H, W, 3) -> projected tokens (B, N, d_model).

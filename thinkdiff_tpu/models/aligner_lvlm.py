@@ -184,6 +184,13 @@ class MllamaT5EmbedDecoder(BaseModel):
         return {"projector": convert_projector_torch(
             {k: v for k, v in sd.items() if "mm_projector" in k})}
 
+    def export_reference_checkpoint(self, trainable: Dict) -> Dict:
+        from thinkdiff_tpu.models.projector import export_projector_torch
+
+        ptype = (self.cfg.get("mm_projector_type", "mlp2x_gelu_t5_norm")
+                 if getattr(self, "cfg", None) else None)
+        return export_projector_torch(trainable["projector"], ptype)
+
     # -- pure compute -------------------------------------------------------
     def project(self, trainable, embeds, rng=None):
         """VLM hidden states (B, S, Dv) -> T5-space tokens (B, S, d_model),

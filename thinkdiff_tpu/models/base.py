@@ -101,6 +101,13 @@ class BaseModel:
     def convert_reference_checkpoint(self, sd: Dict[str, np.ndarray]) -> Any:
         raise NotImplementedError
 
+    def export_reference_checkpoint(self, trainable: Any) -> Dict[str, np.ndarray]:
+        """Inverse of ``convert_reference_checkpoint``: trainable params ->
+        a reference-stack-loadable torch state dict (the requires_grad-only
+        layout of reference runner_base.py:597-623). Lets aligners trained
+        here run under the reference's PyTorch inference scripts."""
+        raise NotImplementedError
+
     def load_checkpoint_from_config(self, cfg) -> None:
         ckpt = cfg.get("ckpt", None) if cfg else None
         if ckpt:
