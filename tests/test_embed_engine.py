@@ -94,6 +94,31 @@ def test_preprocess_matches_hf_processor():
     )  # PIL vs HF resize interpolation differ slightly
 
 
+def test_device_patchify_matches_host_oracle():
+    """The serving path (uint8 upload + on-device patchify_normalize) must
+    reproduce the host numpy oracle (preprocess_image) exactly — same
+    resize source, identical f32 normalize/patchify math."""
+    from PIL import Image
+
+    from thinkdiff_tpu.engines.embed_engine import (
+        patchify_normalize, resize_image_uint8,
+    )
+
+    rs = np.random.RandomState(1)
+    for hw in [(300, 400), (56, 56), (112, 84)]:
+        img = Image.fromarray((rs.rand(*hw, 3) * 255).astype("uint8"))
+        host_patches, grid = preprocess_image(img, 14, 2, 2, 56 * 56,
+                                              12845056)
+        pixels, (h_bar, w_bar) = resize_image_uint8(img, 28, 56 * 56,
+                                                    12845056)
+        assert (1, h_bar // 14, w_bar // 14) == grid
+        dev = jax.jit(
+            lambda u8: patchify_normalize(u8, 14, 2, 2)
+        )(jnp.asarray(pixels[None]))
+        np.testing.assert_allclose(np.asarray(dev[0]), host_patches,
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_generate_end_to_end_and_teacher_forcing(engine):
     from PIL import Image
 

@@ -123,8 +123,17 @@ def encode_field(ext: str, value: Any) -> bytes:
         import numpy as np
         import torch
 
+        arr = np.asarray(value)
+        if arr.dtype.name == "bfloat16":
+            # torch doesn't know ml_dtypes: bit-cast uint16 -> torch bf16
+            # (exact; the reference's shards store torch bf16 tensors)
+            tensor = torch.from_numpy(
+                np.ascontiguousarray(arr).view(np.uint16)
+            ).view(torch.bfloat16)
+        else:
+            tensor = torch.as_tensor(arr)
         buf = io.BytesIO()
-        torch.save(torch.as_tensor(np.array(value)), buf)
+        torch.save(tensor, buf)
         return buf.getvalue()
     if last in ("jpg", "jpeg", "png", "webp"):
         from PIL import Image

@@ -3,9 +3,10 @@ reference's forked vLLM (reference: thinkdiff/models/mllama_vllm_generate_1.py
 :382-417 — ``LLM(..., return_hidden_states=True)`` + SamplingParams).
 
 Pipeline per batch:
-  host:   smart-resize -> normalize -> patchify (HF processor-compatible
-          ordering), chat-template tokenize, M-RoPE position ids
-  device: vision tower over concatenated patches -> prefill (causal, padded
+  host:   smart-resize (PIL, uint8 out), chat-template tokenize, M-RoPE
+          position ids
+  device: normalize + patchify (HF processor-compatible ordering) -> vision
+          tower over concatenated patches -> prefill (causal, padded
           static shapes, KV cache write) -> lax.scan decode with temp/top_p
           sampling -> final-RMSNorm hidden tap for BOTH prompt and generated
           tokens (the ``model.norm`` embeddings the aligner trains on)
@@ -121,25 +122,68 @@ def smart_resize(height: int, width: int, factor: int = 28,
     return max(h_bar, factor), max(w_bar, factor)
 
 
+def resize_image_uint8(image, factor: int = 28, min_pixels: int = 56 * 56,
+                       max_pixels: int = 12845056
+                       ) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """PIL/array image -> (uint8 (H, W, 3) smart-resized RGB, (H, W)).
+
+    The host's ONLY vision work: PIL bicubic resize. Everything after
+    (normalize, temporal tile, patchify) runs on device over the raw uint8
+    bytes — 8x fewer host->device bytes than f32 patches (no x4 f32, no x2
+    temporal duplication), which matters both over the dev tunnel
+    (~43 MB/s measured) and on production PCIe hosts."""
+    from PIL import Image
+
+    if not isinstance(image, Image.Image):
+        image = Image.fromarray(np.asarray(image))
+    image = image.convert("RGB")
+    h_bar, w_bar = smart_resize(image.height, image.width, factor,
+                                min_pixels, max_pixels)
+    image = image.resize((w_bar, h_bar), Image.BICUBIC)
+    return np.asarray(image, np.uint8), (h_bar, w_bar)
+
+
+def patchify_normalize(imgs, patch_size: int = 14, merge: int = 2,
+                       temporal: int = 2) -> jnp.ndarray:
+    """uint8 (B, H, W, 3) -> f32 patches (B, N, C*T*P*P), on device.
+
+    Exactly the HF Qwen2VLImageProcessor math (f32 scale + CLIP-mean/std
+    normalize, frame duplicated over the temporal patch dim, patch vector
+    ordering (C, T, Ph, Pw), sequence ordering (t, H/m, W/m, m, m)) so
+    converted conv weights apply directly; parity with the host reference
+    path is tested (tests/test_embed_engine.py)."""
+    b, h_bar, w_bar, _ = imgs.shape
+    x = imgs.astype(jnp.float32) / 255.0
+    x = (x - CLIP_MEAN) / CLIP_STD                            # (B, H, W, C)
+    x = x.transpose(0, 3, 1, 2)                               # (B, C, H, W)
+    x = jnp.tile(x[:, None], (1, temporal, 1, 1, 1))          # (B, T, C, H, W)
+
+    grid_t = 1
+    grid_h, grid_w = h_bar // patch_size, w_bar // patch_size
+    p = patch_size
+    x = x.reshape(
+        b, grid_t, temporal, 3,
+        grid_h // merge, merge, p,
+        grid_w // merge, merge, p,
+    )
+    x = x.transpose(0, 1, 4, 7, 5, 8, 3, 2, 6, 9)
+    return x.reshape(b, grid_t * grid_h * grid_w, 3 * temporal * p * p)
+
+
 def preprocess_image(image, patch_size: int = 14, merge: int = 2,
                      temporal: int = 2, min_pixels: int = 56 * 56,
                      max_pixels: int = 12845056
                      ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
     """PIL/array image -> (patches (N, C*T*P*P), grid (t, h, w)).
 
-    Patch vector ordering (C, T, Ph, Pw) and sequence ordering
-    (t, H/m, W/m, m, m) match the HF processor so converted conv weights
-    apply directly.
+    Host-side reference path (numpy) — the engine's serving path uploads
+    uint8 pixels and patchifies on device (resize_image_uint8 +
+    patchify_normalize); this function remains the numerics oracle and
+    the entry for host-side callers/tests.
     """
-    from PIL import Image
-
-    if not isinstance(image, Image.Image):
-        image = Image.fromarray(np.asarray(image))
-    image = image.convert("RGB")
-    h_bar, w_bar = smart_resize(image.height, image.width,
-                                patch_size * merge, min_pixels, max_pixels)
-    image = image.resize((w_bar, h_bar), Image.BICUBIC)
-    arr = np.asarray(image, np.float32) / 255.0
+    arr, (h_bar, w_bar) = resize_image_uint8(
+        image, patch_size * merge, min_pixels, max_pixels)
+    arr = arr.astype(np.float32) / 255.0
     arr = (arr - CLIP_MEAN) / CLIP_STD                       # (H, W, C)
     arr = arr.transpose(2, 0, 1)                              # (C, H, W)
     arr = np.tile(arr[None], (temporal, 1, 1, 1))             # (T, C, H, W)
@@ -187,13 +231,17 @@ def sample_logits(rng, logits, temperature: float, top_p: float,
 @dataclasses.dataclass
 class GenerationResult:
     """Mirror of the reference's vLLM output consumption
-    (mllama_vllm_generate_1.py:591-617)."""
+    (mllama_vllm_generate_1.py:591-617). Hidden-state arrays are
+    ml_dtypes.bfloat16 — the dtype the reference's vLLM fork returns
+    (torch bf16) and what its precompute .pth shards store; keeping it
+    end-to-end avoids host bf16->f32 casts (~13 M elem/s on a 1-vCPU
+    host — seconds per serving iteration)."""
 
     texts: List[str]
     prompt_token_ids: List[List[int]]
     output_token_ids: List[List[int]]
-    prompt_hidden_states: List[np.ndarray]   # (prompt_len, D) each
-    hidden_states: List[np.ndarray]          # (gen_len, D) each
+    prompt_hidden_states: List[np.ndarray]   # (prompt_len, D) each, bf16
+    hidden_states: List[np.ndarray]          # (gen_len, D) each, bf16
     input_prompts: List[str]
 
 
@@ -384,12 +432,20 @@ class EmbedEngine:
     # -- jitted device functions --------------------------------------------
     def _get_vision_fn(self):
         if self._vision_fn is None:
+            vcfg = self.cfg.vision
+
             @jax.jit
-            def run(params, patches, cos, sin, bias):
-                # cast on DEVICE: a host-side ml_dtypes f32->bf16 cast of a
-                # 96-image patch batch took ~100 s on a 1-vCPU host (about
-                # 1 M elem/s) vs ~8 s to just upload the f32 bytes
-                patches = patches.astype(self.cfg.vision.dtype)
+            def run(params, imgs_u8, cos, sin, bias):
+                # uint8 pixels in; normalize + temporal-tile + patchify +
+                # bf16 cast all on DEVICE. 8x fewer h->d bytes than f32
+                # patches, and the host does nothing but the PIL resize
+                # (a host-side ml_dtypes bf16 cast measured ~1 M elem/s;
+                # even the f32 normalize/transpose was seconds per group
+                # on a 1-vCPU host).
+                patches = patchify_normalize(
+                    imgs_u8, vcfg.patch_size, vcfg.spatial_merge_size,
+                    vcfg.temporal_patch_size)
+                patches = patches.astype(vcfg.dtype)
                 return self.vision.apply({"params": params}, patches, cos,
                                          sin, bias)
 
@@ -567,7 +623,7 @@ class EmbedEngine:
         """
         b = len(texts)
         merge = self.cfg.vision.spatial_merge_size
-        all_patches, all_grids = [], []
+        all_pixels, all_grids = [], []
         per_sample_grids: List[List[Tuple[int, int, int]]] = []
         for img_entry in images_per_sample:
             imgs = img_entry if isinstance(img_entry, (list, tuple)) else [img_entry]
@@ -577,12 +633,13 @@ class EmbedEngine:
                 imgs = list(imgs)[: self.limit_images_per_prompt]
             grids = []
             for img in imgs:
-                patches, grid = preprocess_image(
-                    img, self.cfg.vision.patch_size, merge,
-                    self.cfg.vision.temporal_patch_size,
+                pixels, (h_bar, w_bar) = resize_image_uint8(
+                    img, self.cfg.vision.patch_size * merge,
                     self.min_pixels, self.max_pixels,
                 )
-                all_patches.append(patches)
+                grid = (1, h_bar // self.cfg.vision.patch_size,
+                        w_bar // self.cfg.vision.patch_size)
+                all_pixels.append(pixels)
                 all_grids.append(grid)
                 grids.append(grid)
             per_sample_grids.append(grids)
@@ -593,8 +650,8 @@ class EmbedEngine:
         # per distinct grid). NEVER concatenate sequences with a dense
         # (S_total, S_total) cross-image bias — for 8x 1024-patch images that
         # bias alone is 268 MB of host->device traffic.
-        image_embeds_list: List[Optional[np.ndarray]] = [None] * len(all_patches)
-        if all_patches:
+        image_embeds_list: List[Optional[np.ndarray]] = [None] * len(all_pixels)
+        if all_pixels:
             import os as _os
             import time as _time
             dbg = _os.environ.get("THINKDIFF_ENGINE_DEBUG")
@@ -612,13 +669,11 @@ class EmbedEngine:
                 for lo in range(0, len(idxs), self.vision_batch):
                     part = idxs[lo: lo + self.vision_batch]
                     _t0 = _time.perf_counter()
-                    # f32 upload + device-side bf16 cast: doubles the bytes
-                    # but the host ml_dtypes cast is ~10x slower than the
-                    # tunnel
-                    batch_patches = np.stack([all_patches[i] for i in part])
+                    # raw uint8 pixel upload; normalize/patchify on device
+                    batch_pixels = np.stack([all_pixels[i] for i in part])
                     _t1 = _time.perf_counter()
                     embeds = self._get_vision_fn()(
-                        self.params["vision"], jnp.asarray(batch_patches),
+                        self.params["vision"], jnp.asarray(batch_pixels),
                         jnp.asarray(cos), jnp.asarray(sin), None,
                     )
                     embeds = np.asarray(embeds)  # (B, S/m^2, hidden)
@@ -710,7 +765,10 @@ class EmbedEngine:
             jnp.asarray(img_embeds), jnp.asarray(img_mask), caches,
             jnp.asarray(last_idx), rng,
         )
-        hidden = np.asarray(hidden_dev).astype(np.float32)
+        # keep bf16: the host bf16->f32 cast of a (m, pad, D) buffer
+        # measured ~13 M elem/s on a 1-vCPU host (15.9 s for a 64x512 fill)
+        # — and bf16 is what the reference's vLLM fork hands back anyway
+        hidden = np.asarray(hidden_dev)
         start_pos = np.asarray(
             [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
             np.int32)
@@ -792,7 +850,7 @@ class EmbedEngine:
             caches = jax.tree.map(lambda a: a[:m], caches)
         hidden = np.concatenate(
             [np.asarray(h)[:m] for h in hid_chunks], axis=1
-        ).astype(np.float32)
+        )  # bf16 (see _prefill)
         start_pos = np.asarray(
             [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
             np.int32)
@@ -835,9 +893,8 @@ class EmbedEngine:
             # hidden produced token 0; decode step i produced token i+1.
             first_hidden = hidden[np.arange(b), last_idx][:, None]
             gen_hidden = np.concatenate(
-                [first_hidden,
-                 np.asarray(gen_hidden).astype(np.float32)], axis=1
-            )
+                [first_hidden, np.asarray(gen_hidden)], axis=1
+            )  # bf16 end-to-end (host f32 casts measured ~13 M elem/s)
         else:
             gen_tokens = np.asarray(first)[:, None]
             gen_hidden = hidden[np.arange(b), last_idx][:, None]
@@ -1160,7 +1217,7 @@ class EmbedEngine:
                     gen_count, sub)
             _t1 = _time.perf_counter()
             chunk_tokens = np.asarray(chunk_tokens)          # (S, chunk)
-            chunk_hidden = np.asarray(chunk_hidden).astype(np.float32)
+            chunk_hidden = np.asarray(chunk_hidden)  # bf16, no host cast
             _t2 = _time.perf_counter()
             t_decode += _t1 - _t0
             t_sync += _t2 - _t1

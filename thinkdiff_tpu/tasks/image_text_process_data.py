@@ -68,10 +68,13 @@ class ImageTextProcessDataTask(BaseTask):
                     sample = {
                         "__key__": batch["filenames"][i] or f"{n_total:09d}",
                         "json": json_payload,
+                        # dtype preserved (engine emits bf16 — the same
+                        # torch-bf16 the reference's vLLM-written shards
+                        # carry; tario's .pth encoder bit-casts exactly)
                         f"{layer}.input_embed.pth": np.asarray(
-                            result["prompt_hidden_states"][i], np.float32),
+                            result["prompt_hidden_states"][i]),
                         f"{layer}.output_embed.pth": np.asarray(
-                            result["hidden_states"][i], np.float32),
+                            result["hidden_states"][i]),
                     }
                     if batch.get("images") is not None:
                         sample["jpg"] = batch["images"][i]
