@@ -112,8 +112,10 @@ def _fill_rows(rows, items, enc_cap, dec_cap, d_vlm, decoder_start_id,
 class OnlinePacker:
     """Streaming packer emitting FIXED-shape batches of exactly ``rows``
     rows — one compiled train-step shape, no bucket ladder. Samples
-    accumulate until the next one cannot fit any open row; the batch is
-    then re-packed first-fit-decreasing (pack_rows) and emitted.
+    accumulate first-fit into open rows until the next one cannot fit any
+    of them; the batch is then emitted with that online assignment (no
+    FFD re-pack — the stream order is already shuffled upstream, and
+    measured fills are within a point of pack_rows' offline FFD).
 
     At the aligner mixture the condition and label lengths anti-correlate
     (split + label ~= generation length + 1), so rows fill both axes
