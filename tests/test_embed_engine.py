@@ -436,6 +436,15 @@ def test_prompt_format_system_token_count():
     e_iv = EmbedEngine(cfg, params, FakeTokenizer(), prompt_format="internvl")
     assert e_q.num_system_tokens > 0
     assert e_iv.num_system_tokens == 0
+    # the skip must cover the WHOLE prefix before user content — system turn
+    # PLUS the user-turn header (reference [14:] = 11 system + 3 user-header
+    # tokens, mllama_vllm_t5_embed_decoder_2.py:1107-1109)
+    prefix = (f"<|im_start|>system\n{e_q.system_prompt}<|im_end|>\n"
+              f"<|im_start|>user\n")
+    assert e_q.num_system_tokens == len(
+        FakeTokenizer().encode(prefix, add_special_tokens=False))
+    prompt_q, _ = e_q.build_prompt("hello", 0, [])
+    assert prompt_q.startswith(prefix)
     # and the rendered prompt the engine tokenizes matches the format
     _, ids_q = e_q.build_prompt("hello", 0, [])
     _, ids_iv = e_iv.build_prompt("hello", 0, [])

@@ -402,12 +402,20 @@ class EmbedEngine:
 
     # -- prompt building ----------------------------------------------------
     def _count_system_tokens(self) -> int:
-        """Length of the tokenized system preamble — the '14 system tokens'
-        the reference skips for input_no_system
-        (mllama_vllm_t5_embed_decoder_2.py:1107-1109)."""
+        """Tokens to skip for input_no_system — the reference's hardcoded
+        ``[14:]`` (mllama_vllm_t5_embed_decoder_2.py:1107-1109).
+
+        The 14 decomposes over the Qwen2 tokenizer as the ENTIRE prefix
+        before the user content: ``<|im_start|>system\\n`` (3) + "You are a
+        helpful assistant." (6) + ``<|im_end|>\\n`` (2) + the user-turn
+        header ``<|im_start|>user\\n`` (3). Counting only the system turn
+        (11) would leave the user-turn header in the "no system" embedding,
+        silently offsetting every vision token by 3. Computed from the live
+        tokenizer so a different system prompt stays correct."""
         if self.tokenizer is None or self.prompt_format != "qwen2_vl":
             return 0  # internvl/generic renderings carry no system turn
-        text = f"<|im_start|>system\n{self.system_prompt}<|im_end|>\n"
+        text = (f"<|im_start|>system\n{self.system_prompt}<|im_end|>\n"
+                f"<|im_start|>user\n")
         return len(self.tokenizer.encode(text, add_special_tokens=False))
 
     def build_prompt(self, text: str, n_images: int,
