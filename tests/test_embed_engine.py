@@ -220,6 +220,123 @@ def test_top_p_sampling_masks_tail():
     assert counts <= {0, 1}
 
 
+def _torch_top_p_sample(logits_np, temperature, top_p, n_draws, seed):
+    """Reference sampler: HF TopPLogitsWarper / vLLM _apply_top_p semantics
+    + torch.multinomial. Both filter by 'keep token while the cumulative
+    probability of STRICTLY higher-ranked tokens is < top_p' (HF removes
+    ascending-cumulative <= 1-p; vLLM removes desc cumsum - prob > p —
+    algebraically the same keep set), then renormalize and multinomial."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    logits = torch.from_numpy(logits_np).double() / temperature
+    probs = torch.softmax(logits, dim=-1)
+    sp, si = torch.sort(probs, descending=True)
+    keep = (sp.cumsum(-1) - sp) < top_p          # always keeps top-1
+    filtered = torch.where(keep, sp, torch.zeros_like(sp))
+    filtered = filtered / filtered.sum()
+    draws = torch.multinomial(filtered, n_draws, replacement=True,
+                              generator=g)
+    return si[draws].numpy(), np.asarray(si[keep].numpy())
+
+
+def test_sampling_distributional_parity_vs_torch():
+    """The precompute's parity with the reference is DISTRIBUTIONAL (temp
+    0.6 / top_p 0.9 — configs/qwen2_vl_embed_ccsbu.yaml; SURVEY §7 hard
+    parts): seeded frequency comparison of sample_logits against
+    torch.multinomial over the HF/vLLM top_p keep set on identical logits.
+
+    Three gates: (1) identical support (no token outside the torch keep
+    set, every non-negligible keep-set token drawn); (2) total-variation
+    distance of our empirical law to the EXACT renormalized distribution
+    within the n-draw sampling noise envelope; (3) same for torch itself
+    (calibrates the envelope — if torch's own TV is comparable, ours is
+    multinomial-consistent, not just 'close')."""
+    temperature, top_p = 0.6, 0.9
+    v = 4096          # > top_k prefilter would hide nothing: peaked logits
+    n = 100_000
+    rs = np.random.RandomState(7)
+    # realistic peaked LM logits: heavy head + noise, ~20-token nucleus
+    base = -2.0 * np.log(np.arange(1, v + 1, dtype=np.float64))
+    logits_np = (base + rs.normal(0, 1.0, v)).astype(np.float32)[None]
+
+    torch_draws, keep_idx = _torch_top_p_sample(
+        logits_np[0], temperature, top_p, n, seed=3)
+
+    # ours: chunked batch draws (one categorical per row)
+    rows = 500
+    ours = []
+    logits_b = jnp.asarray(np.repeat(logits_np, rows, axis=0))
+    for i in range(n // rows):
+        t = sample_logits(jax.random.fold_in(jax.random.PRNGKey(11), i),
+                          logits_b, temperature, top_p)
+        ours.append(np.asarray(t))
+    ours = np.concatenate(ours)
+    assert ours.size == n
+
+    keep_set = set(keep_idx.tolist())
+    assert set(ours.tolist()) <= keep_set, "sampled outside the nucleus"
+
+    # exact renormalized law over the keep set
+    lp = logits_np[0].astype(np.float64) / temperature
+    p_full = np.exp(lp - lp.max())
+    p_full /= p_full.sum()
+    p_keep = np.zeros(v)
+    p_keep[keep_idx] = p_full[keep_idx]
+    p_keep /= p_keep.sum()
+
+    def tv(draws):
+        freq = np.bincount(draws, minlength=v) / draws.size
+        return 0.5 * np.abs(freq - p_keep).sum()
+
+    tv_ours, tv_torch = tv(ours), tv(torch_draws)
+    # sampling-noise envelope: E[TV] ~ sqrt(K/(2 pi n)) for K live outcomes
+    k_eff = max(len(keep_set), 2)
+    envelope = 4.0 * np.sqrt(k_eff / (2 * np.pi * n))
+    assert tv_ours < envelope, (tv_ours, envelope)
+    assert tv_torch < envelope, (tv_torch, envelope)
+    # every keep-set token with >=1e-3 mass must actually appear
+    big = keep_idx[p_keep[keep_idx] >= 1e-3]
+    assert set(big.tolist()) <= set(ours.tolist())
+
+
+def test_top_k_prefilter_truncation_mass_realistic():
+    """Quantify what the top-k(1024) prefilter cuts from the nucleus at the
+    REAL 152k vocab on realistic logit shapes (VERDICT r3 item 8). For a
+    peaked trained-LM-like tail the top_p=0.9 nucleus at temp 0.6 sits well
+    inside the top-1024; the prefilter's truncated nucleus mass must be
+    negligible. A flat-tailed adversarial shape documents the failure mode
+    the prefilter accepts (vLLM's does the same)."""
+    v = 151_936
+    temperature, top_p, k = 0.6, 0.9, 1024
+    rs = np.random.RandomState(0)
+
+    def nucleus_truncation(logits):
+        lp = logits.astype(np.float64) / temperature
+        p = np.exp(lp - lp.max())
+        p /= p.sum()
+        order = np.argsort(-p)
+        ps = p[order]
+        keep = (np.cumsum(ps) - ps) < top_p          # full-vocab nucleus
+        nucleus = order[keep]
+        outside = nucleus[keep.nonzero()[0] >= k]    # cut by the prefilter
+        return p[outside].sum() / p[nucleus].sum(), keep.sum()
+
+    # realistic: Zipf-ish head + gaussian noise (what trained lm_head logits
+    # look like after softmax temp scaling — a few dozen live tokens)
+    base = -2.0 * np.log(np.arange(1, v + 1, dtype=np.float64))
+    lost, n_nucleus = nucleus_truncation(
+        (base + rs.normal(0, 1.0, v)).astype(np.float32))
+    assert n_nucleus < k, "realistic nucleus must sit inside the prefilter"
+    assert lost == 0.0
+
+    # near-flat adversarial tail: nucleus wider than k -> prefilter truncates
+    flat = rs.normal(0, 0.3, v).astype(np.float32)
+    lost_flat, n_flat = nucleus_truncation(flat)
+    assert n_flat > k          # the shape the prefilter cannot honor
+    assert lost_flat > 0.5     # documented: uniform-ish tails are truncated
+
+
 def make_engine(max_tokens=6, min_tokens=1, temperature=0.6, top_p=0.9):
     cfg = Qwen2VLConfig.tiny()
     rng = jax.random.PRNGKey(0)
