@@ -69,6 +69,13 @@ def main():
     parser.add_argument("--prefill-chunk", type=int, default=0,
                         help="chunked prefill size (power of two >= 64; "
                              "0 = bucketed one-shot prefill)")
+    parser.add_argument("--model", choices=["2b", "7b"], default="2b",
+                        help="geometry: Qwen2-VL-2B (precompute operating "
+                             "point) or 7B (the LVLM inference serving "
+                             "point — configs/test_thinkdiff_lvlm_*.yaml)")
+    parser.add_argument("--refill-batch", type=int, default=0,
+                        help="cap refill prefill groups to this many rows "
+                             "(0 = engine default)")
     args = parser.parse_args()
 
     import jax
@@ -83,13 +90,15 @@ def main():
 
     quant = {"none": False, "int8": True, "w8a8": "w8a8"}[args.quant]
     fused = {"auto": bool(quant), "on": True, "off": False}[args.fused]
-    cfg = Qwen2VLConfig.qwen2_vl_2b(quant_int8=quant, fused_proj=fused)
+    mk = (Qwen2VLConfig.qwen2_vl_7b if args.model == "7b"
+          else Qwen2VLConfig.qwen2_vl_2b)
+    cfg = mk(quant_int8=quant, fused_proj=fused)
     print(f"fused_proj={fused}")
     # tiny-vocab trick is NOT used: keep the real 151936 vocab (lm_head cost
     # matters). Random init at full geometry.
     rng = jax.random.PRNGKey(0)
-    print(f"initializing Qwen2-VL-2B geometry (random weights, "
-          f"quant={args.quant})...")
+    print(f"initializing Qwen2-VL-{args.model.upper()} geometry "
+          f"(random weights, quant={args.quant})...")
     vision = Qwen2VisionTower(cfg.vision)
     lm = Qwen2VLModel(cfg)
     vp = jax.jit(lambda r: vision.init(
@@ -133,13 +142,19 @@ def main():
               f"emulated mean len {lengths.mean():.0f} / {args.max_tokens}")
         t0 = time.perf_counter()
         result = engine.generate_many(req, seed=0, slots=slots,
-                                      chunk=args.chunk, paged=paged)
+                                      chunk=args.chunk, paged=paged,
+                                      refill_batch=args.refill_batch)
         print(f"first pass (compile+run): {time.perf_counter() - t0:.1f}s")
+        phase_log = []
         for i in range(args.iters):
             t0 = time.perf_counter()
             result = engine.generate_many(req, seed=i + 1, slots=slots,
-                                          chunk=args.chunk, paged=paged)
+                                          chunk=args.chunk, paged=paged,
+                                          refill_batch=args.refill_batch)
             iter_times.append(time.perf_counter() - t0)
+            phase_log.append(dict(engine.last_phase_stats))
+            print(f"  iter {i}: {iter_times[-1]:.1f}s phases="
+                  f"{engine.last_phase_stats}")
         n_tokens = sum(len(t) for t in result.output_token_ids)
         per_batch = n
     else:
@@ -171,7 +186,11 @@ def main():
         "image_size": args.image_size, "quant": args.quant,
         "fused": fused, "page_size": args.page_size,
         "chunk": args.chunk, "mean_len": args.mean_len,
-        "prefill_chunk": args.prefill_chunk,
+        "prefill_chunk": args.prefill_chunk, "model": args.model,
+        "refill_batch": args.refill_batch,
+        "phases_best": (phase_log[int(np.argmin(iter_times))]
+                        if args.mode in ("continuous", "paged") and phase_log
+                        else None),
         "iters_s": [round(t, 3) for t in iter_times],
         "imgs_per_s_median": round(per_batch / med, 3),
         "imgs_per_s_best": round(per_batch / best, 3),

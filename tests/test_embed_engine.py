@@ -487,6 +487,32 @@ def test_generate_many_paged_with_chunked_prefill():
             rtol=2e-2, atol=2e-2)
 
 
+def test_generate_many_refill_batch_parity():
+    """Sub-batched admission (refill_batch caps every prefill group) must be
+    a pure perf knob: greedy tokens and hidden states are identical to the
+    un-batched scheduler, in both dense and paged modes. Each sub-batch gets
+    its own pow2 prompt bucket, so this also exercises mixed-bucket commits
+    into one page pool / slot cache."""
+    engine = make_engine(max_tokens=12, min_tokens=2, temperature=0.0)
+    engine.kv_page_size = 8
+    prompts = [f"describe thing number {i} " + "pad " * (5 * i)
+               for i in range(9)]
+    for paged in (False, True):
+        ref = engine.generate_many(
+            {"prompts": prompts}, seed=3, slots=4, chunk=4, paged=paged)
+        sub = engine.generate_many(
+            {"prompts": prompts}, seed=3, slots=4, chunk=4, paged=paged,
+            refill_batch=2)
+        assert ref.output_token_ids == sub.output_token_ids, paged
+        for i in range(9):
+            np.testing.assert_allclose(
+                ref.hidden_states[i], sub.hidden_states[i],
+                rtol=2e-2, atol=2e-2)
+            np.testing.assert_allclose(
+                ref.prompt_hidden_states[i], sub.prompt_hidden_states[i],
+                rtol=2e-2, atol=2e-2)
+
+
 def test_generate_many_paged_contract_large_slots():
     """Paged mode at slots >= n (single fill, no refill) and with sampling:
     the GenerationResult contract holds (EOS trim, min_tokens, alignment)."""

@@ -627,8 +627,14 @@ class EmbedEngine:
         """Vision passes (grouped by grid) + prompts + M-RoPE positions.
 
         Returns a list of per-request dicts: {prompt, ids, pos, delta,
-        img_rows, img_local_idx}.
+        img_rows, img_local_idx}. Wall-time of the three host/device
+        sub-phases (PIL resize, vision pack+run+sync, prompt build) is
+        recorded in ``self._prepare_phases`` for the serving breakdown.
         """
+        import time as _time
+
+        _ph = {"resize": 0.0, "vision": 0.0, "prompt": 0.0}
+        _t0 = _time.perf_counter()
         b = len(texts)
         merge = self.cfg.vision.spatial_merge_size
         all_pixels, all_grids = [], []
@@ -653,6 +659,8 @@ class EmbedEngine:
             per_sample_grids.append(grids)
         if not images_per_sample:
             per_sample_grids = [[] for _ in range(b)]
+        _ph["resize"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # Vision pass: group same-grid images onto the batch axis (one call
         # per distinct grid). NEVER concatenate sequences with a dense
@@ -693,6 +701,8 @@ class EmbedEngine:
                             grid, len(part), _t1 - _t0, _t2 - _t1)
                     for j, i in enumerate(part):
                         image_embeds_list[i] = embeds[j]
+        _ph["vision"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         prepared = []
         img_i = 0
@@ -716,6 +726,8 @@ class EmbedEngine:
             prepared.append(dict(prompt=prompt, ids=ids, pos=pos,
                                  delta=int(delta), img_rows=img_rows,
                                  img_local_idx=img_local_idx))
+        _ph["prompt"] = _time.perf_counter() - _t0
+        self._prepare_phases = _ph
         return prepared
 
     def _pack_prompt_buffers(self, prepared, rows, pad_to):
@@ -1078,13 +1090,21 @@ class EmbedEngine:
     def generate_many(self, samples: Dict[str, Any],
                       max_new_tokens: Optional[int] = None, seed: int = 0,
                       slots: Optional[int] = None, chunk: int = 32,
-                      paged: Optional[bool] = None) -> GenerationResult:
+                      paged: Optional[bool] = None,
+                      refill_batch: int = 0) -> GenerationResult:
         """Continuous batching over an arbitrary request list (the scheduler
         role vLLM plays for the reference — thinkdiff/models/
         mllama_vllm_generate_1.py:382-413): a fixed pool of `slots` decode
         lanes; finished (EOS) sequences are replaced by freshly-prefilled
         requests at `chunk`-step boundaries; the decode attention window
         grows in 256-step buckets (no full-cache reads for short contexts).
+
+        `refill_batch` caps every prefill group (initial fill AND refills)
+        to that many rows; 0 = auto (whole group up to 64 slots, 32-row
+        sub-batches above). Admission is longest-first, so each sub-batch
+        gets its OWN pow2 prompt bucket — at 128/256 slots this avoids
+        padding every refill row to the global bucket (the round-3 bottleneck
+        that made 64 slots the throughput peak).
         """
         images_per_sample = samples.get("images", [])
         texts = samples.get("answers") or samples.get("prompts")
@@ -1143,44 +1163,91 @@ class EmbedEngine:
                 for _ in range(self.cfg.num_layers)
             ]
 
-        # ---- initial fill ----
-        first_batch = [prepared[queue.pop(0)] for _ in range(slots)]
-        slot_req = [order[i] for i in range(slots)]
-        rng, sub = jax.random.split(rng)
-        _tp0 = _time.perf_counter()
-        if paged:
-            pad_to = min(1 << max(6, (max(len(p["ids"]) for p in first_batch)
-                                      - 1).bit_length()),
-                         self.max_prompt_len)
-            first, hidden, dense_caches, prompt_lens, last_idx, start_pos = \
-                self._prefill(first_batch, max_tokens, sub, cache_size=pad_to)
-            for si in range(slots):
-                k = need[slot_req[si]]
-                slot_pages[si] = [free.pop() for _ in range(k)]
-                table_np[si, :k] = slot_pages[si]
-            rows = self._page_rows(table_np, range(slots), prompt_lens,
-                                   pad_to, page)
-            pools = self._get_commit_fn()(pools, dense_caches,
-                                          jnp.asarray(rows))
-            table_dev = jnp.asarray(table_np)
-        else:
-            first, hidden, caches, prompt_lens, last_idx, start_pos = \
-                self._prefill(first_batch, max_tokens, sub,
-                              cache_size=cache_size)
-        t_first = _time.perf_counter() - _tp0
-
+        # ---- slot state (populated by _admit) ----
         results: Dict[int, Tuple] = {}
-        # per-slot host accumulators
-        slot_tokens = [[int(t)] for t in np.asarray(first)]
-        slot_hidden = [[hidden[i, last_idx[i]][None]] for i in range(slots)]
-        slot_prompt_hidden = [hidden[i, :prompt_lens[i]] for i in range(slots)]
-        slot_gen = np.ones((slots,), np.int64)
+        slot_req = [-1] * slots
+        slot_tokens: List[List[int]] = [[] for _ in range(slots)]
+        slot_hidden: List[List[np.ndarray]] = [[] for _ in range(slots)]
+        slot_prompt_hidden: List[Any] = [None] * slots
+        slot_gen = np.zeros((slots,), np.int64)
         slot_active = np.ones((slots,), bool)
 
-        tokens_dev = first
-        cache_len = jnp.asarray(prompt_lens, jnp.int32)
-        pos = jnp.asarray(start_pos)
+        tokens_dev = jnp.zeros((slots,), jnp.int32)
+        cache_len = jnp.zeros((slots,), jnp.int32)
+        pos = jnp.zeros((slots,), jnp.int32)
         gen_count = jnp.ones((slots,), jnp.int32)
+        if paged:
+            table_dev = jnp.asarray(table_np)
+        else:
+            hd = self.cfg.head_dim
+            caches = [
+                (jnp.zeros((slots, self.cfg.num_kv_heads, cache_size, hd),
+                           self.cfg.dtype),
+                 jnp.zeros((slots, self.cfg.num_kv_heads, cache_size, hd),
+                           self.cfg.dtype))
+                for _ in range(self.cfg.num_layers)
+            ]
+
+        group = (int(refill_batch) if refill_batch
+                 else (slots if slots <= 64 else 32))
+
+        def _admit(reqs, slot_ids):
+            """Prefill `reqs` into `slot_ids` in sub-batches of <= `group`
+            rows. Both the initial fill and every refill go through here, so
+            a prefill batch never exceeds `group`; with longest-first
+            admission each sub-batch's pow2 prompt bucket is tight to its
+            own rows instead of the global maximum."""
+            nonlocal pools, table_dev, caches, tokens_dev, cache_len
+            nonlocal pos, gen_count, rng
+            for g0 in range(0, len(reqs), group):
+                g_reqs = list(reqs[g0:g0 + group])
+                g_slots = list(slot_ids[g0:g0 + group])
+                batch = [prepared[r] for r in g_reqs]
+                for j, si in enumerate(g_slots):
+                    slot_req[si] = g_reqs[j]
+                rng, sub = jax.random.split(rng)
+                if paged:
+                    r_pad = min(1 << max(6, (max(len(p["ids"])
+                                                 for p in batch)
+                                             - 1).bit_length()),
+                                self.max_prompt_len)
+                    (r_first, r_hidden, r_caches, r_lens, r_last,
+                     r_start) = self._prefill(batch, max_tokens, sub,
+                                              cache_size=r_pad)
+                    for j, si in enumerate(g_slots):
+                        free.extend(slot_pages[si])
+                        k = need[slot_req[si]]
+                        slot_pages[si] = [free.pop() for _ in range(k)]
+                        table_np[si, :] = 0
+                        table_np[si, :k] = slot_pages[si]
+                    rows = self._page_rows(table_np, g_slots, r_lens,
+                                           r_pad, page)
+                    pools = self._get_commit_fn()(pools, r_caches,
+                                                  jnp.asarray(rows))
+                    table_dev = jnp.asarray(table_np)
+                else:
+                    (r_first, r_hidden, r_caches, r_lens, r_last,
+                     r_start) = self._prefill(batch, max_tokens, sub,
+                                              cache_size=cache_size)
+                    caches = self._get_scatter_fn()(
+                        caches, jnp.asarray(g_slots, jnp.int32), r_caches)
+                sl = jnp.asarray(g_slots, jnp.int32)
+                tokens_dev = tokens_dev.at[sl].set(r_first)
+                cache_len = cache_len.at[sl].set(jnp.asarray(r_lens,
+                                                             jnp.int32))
+                pos = pos.at[sl].set(jnp.asarray(r_start))
+                gen_count = gen_count.at[sl].set(1)
+                r_first_np = np.asarray(r_first)
+                for j, si in enumerate(g_slots):
+                    slot_tokens[si] = [int(r_first_np[j])]
+                    slot_hidden[si] = [r_hidden[j, r_last[j]][None]]
+                    slot_prompt_hidden[si] = r_hidden[j, :r_lens[j]]
+                    slot_gen[si] = 1
+
+        # ---- initial fill ----
+        _tp0 = _time.perf_counter()
+        _admit([queue.pop(0) for _ in range(slots)], list(range(slots)))
+        t_first = _time.perf_counter() - _tp0
 
         def _finish(si):
             req = slot_req[si]
@@ -1201,8 +1268,9 @@ class EmbedEngine:
             results[req] = (text, list(p["ids"]), toks,
                             slot_prompt_hidden[si], hid, p["prompt"])
 
-        t_decode = t_sync = t_refill = 0.0
+        t_decode = t_sync = t_refill = t_account = 0.0
         n_chunks = 0
+        _t_loop0 = _time.perf_counter()
         while slot_active.any():
             rng, sub = jax.random.split(rng)
             _t0 = _time.perf_counter()
@@ -1231,6 +1299,7 @@ class EmbedEngine:
             t_sync += _t2 - _t1
             n_chunks += 1
 
+            _ta0 = _time.perf_counter()
             finished_slots = []
             for si in range(slots):
                 if not slot_active[si]:
@@ -1252,65 +1321,46 @@ class EmbedEngine:
                 if done:
                     _finish(si)
                     finished_slots.append(si)
+            t_account += _time.perf_counter() - _ta0
 
             if finished_slots:
-                refill = []
-                refill_slots = []
+                refill_reqs, refill_slots = [], []
                 for si in finished_slots:
                     if queue:
-                        req = queue.pop(0)
-                        slot_req[si] = req
-                        refill.append(prepared[req])
+                        refill_reqs.append(queue.pop(0))
                         refill_slots.append(si)
                     else:
                         slot_active[si] = False
-                if refill:
-                    rng, sub = jax.random.split(rng)
+                if refill_reqs:
                     _t0 = _time.perf_counter()
-                    if paged:
-                        r_pad = min(1 << max(6, (max(len(p["ids"])
-                                                     for p in refill)
-                                                 - 1).bit_length()),
-                                    self.max_prompt_len)
-                        (r_first, r_hidden, r_caches, r_lens, r_last,
-                         r_start) = self._prefill(refill, max_tokens, sub,
-                                                  cache_size=r_pad)
-                        for j, si in enumerate(refill_slots):
-                            free.extend(slot_pages[si])
-                            k = need[slot_req[si]]
-                            slot_pages[si] = [free.pop() for _ in range(k)]
-                            table_np[si, :] = 0
-                            table_np[si, :k] = slot_pages[si]
-                        rows = self._page_rows(table_np, refill_slots,
-                                               r_lens, r_pad, page)
-                        pools = self._get_commit_fn()(pools, r_caches,
-                                                      jnp.asarray(rows))
-                        table_dev = jnp.asarray(table_np)
-                    else:
-                        (r_first, r_hidden, r_caches, r_lens, r_last,
-                         r_start) = self._prefill(refill, max_tokens, sub,
-                                                  cache_size=cache_size)
-                        sl_sc = jnp.asarray(refill_slots, jnp.int32)
-                        caches = self._get_scatter_fn()(caches, sl_sc,
-                                                        r_caches)
-                    sl = jnp.asarray(refill_slots, jnp.int32)
-                    tokens_dev = tokens_dev.at[sl].set(r_first)
-                    cache_len = cache_len.at[sl].set(
-                        jnp.asarray(r_lens, jnp.int32))
-                    pos = pos.at[sl].set(jnp.asarray(r_start))
-                    gen_count = gen_count.at[sl].set(1)
-                    for j, si in enumerate(refill_slots):
-                        slot_tokens[si] = [int(np.asarray(r_first)[j])]
-                        slot_hidden[si] = [r_hidden[j, r_last[j]][None]]
-                        slot_prompt_hidden[si] = r_hidden[j, :r_lens[j]]
-                        slot_gen[si] = 1
+                    _admit(refill_reqs, refill_slots)
                     t_refill += _time.perf_counter() - _t0
 
+        # wall-time breakdown (always recorded; bench scripts emit it):
+        #   prepare_*      host resize / vision tower / tokenize+mrope
+        #   first_prefill  initial slot fill (device prefill + hidden d2h)
+        #   decode_dispatch async chunk-scan dispatch cost
+        #   decode_sync    wait for chunk compute + tokens/hidden d2h
+        #   account        host python: token lists, EOS scan, finishes
+        #   refill_prefill refill groups (device prefill + hidden d2h
+        #                  + page-commit/scatter)
+        prep = getattr(self, "_prepare_phases",
+                       {"resize": 0.0, "vision": 0.0, "prompt": 0.0})
+        self.last_phase_stats = {
+            "n_requests": n, "slots": slots, "chunks": n_chunks,
+            "prepare_total": round(t_prepare, 3),
+            "prepare_resize": round(prep["resize"], 3),
+            "prepare_vision": round(prep["vision"], 3),
+            "prepare_prompt": round(prep["prompt"], 3),
+            "first_prefill": round(t_first, 3),
+            "decode_dispatch": round(t_decode, 3),
+            "decode_sync": round(t_sync, 3),
+            "account": round(t_account, 3),
+            "refill_prefill": round(t_refill, 3),
+            "decode_loop_total": round(_time.perf_counter() - _t_loop0, 3),
+        }
         if dbg:
-            logger.warning(
-                "generate_many: %d chunks prepare=%.2fs first_prefill=%.2fs "
-                "decode=%.2fs sync=%.2fs refill=%.2fs",
-                n_chunks, t_prepare, t_first, t_decode, t_sync, t_refill)
+            logger.warning("generate_many phases: %s", self.last_phase_stats)
         ordered = [results[i] for i in range(n)]
         cols = list(zip(*ordered))
         return GenerationResult(
