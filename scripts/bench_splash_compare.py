@@ -33,6 +33,14 @@ SHAPES = {
     # B, H, T, D, default (block_q, block_k) from the model configs
     "cogvideox": (2, 48, 17776, 64, (512, 2048)),
     "flux": (1, 24, 4608, 128, (512, 4608)),
+    # head-packing PROBE (VERDICT r3 item 4): two D=64 heads folded into
+    # one D=128 pass. The fold is NOT valid attention math — the QK
+    # contraction would sum the two heads' scores — so this measures only
+    # the speed a D=128 layout would deliver at the CogVideoX sequence
+    # length (same total flops as `cogvideox`). A correct fold needs
+    # block-diagonal K/V, which re-introduces the exact 50% MXU waste it
+    # tries to remove (zeros fill the extra depth), so it cannot win.
+    "cogvideox_packed_probe": (2, 24, 17776, 128, (512, 2048)),
 }
 
 

@@ -312,6 +312,8 @@ class EmbedEngine:
         self._first_fn = None
         self._decode_fn = None
         self._vision_fn = None
+        self._gather_fn = None
+        self._img_bank = None  # device-resident (rows, hidden) from _prepare
         self.num_system_tokens = self._count_system_tokens()
 
     # -- construction -------------------------------------------------------
@@ -627,13 +629,22 @@ class EmbedEngine:
         """Vision passes (grouped by grid) + prompts + M-RoPE positions.
 
         Returns a list of per-request dicts: {prompt, ids, pos, delta,
-        img_rows, img_local_idx}. Wall-time of the three host/device
-        sub-phases (PIL resize, vision pack+run+sync, prompt build) is
-        recorded in ``self._prepare_phases`` for the serving breakdown.
+        img_bank_rows, img_local_idx} and sets ``self._img_bank`` — image
+        embeddings stay ON DEVICE as one (total_rows, hidden) bank; prompts
+        reference bank rows by index and prefill gathers them device-side.
+        (Round 3 round-tripped every embedding host->device twice: a ~200 MB
+        d2h of vision outputs plus a mostly-zero (rows, bucket, hidden)
+        h2d per refill — ~40% of serving wall time over the 35 MB/s
+        tunnel.) Vision chunks are dispatched WITHOUT per-chunk syncs, so
+        upload/compute of successive chunks overlap; the first prefill is
+        the sync point. Wall-time of the host/device sub-phases (PIL
+        resize, vision pack+dispatch, prompt build) is recorded in
+        ``self._prepare_phases`` for the serving breakdown.
         """
         import time as _time
 
-        _ph = {"resize": 0.0, "vision": 0.0, "prompt": 0.0}
+        _ph = {"resize": 0.0, "vision_pack": 0.0, "vision": 0.0,
+               "prompt": 0.0}
         _t0 = _time.perf_counter()
         b = len(texts)
         merge = self.cfg.vision.spatial_merge_size
@@ -666,11 +677,11 @@ class EmbedEngine:
         # per distinct grid). NEVER concatenate sequences with a dense
         # (S_total, S_total) cross-image bias — for 8x 1024-patch images that
         # bias alone is 268 MB of host->device traffic.
-        image_embeds_list: List[Optional[np.ndarray]] = [None] * len(all_pixels)
+        bank_start = np.zeros((len(all_pixels),), np.int64)
+        bank_count = np.zeros((len(all_pixels),), np.int64)
+        bank_parts: List[Any] = []
+        bank_off = 0
         if all_pixels:
-            import os as _os
-            import time as _time
-            dbg = _os.environ.get("THINKDIFF_ENGINE_DEBUG")
             groups: Dict[Tuple[int, int, int], List[int]] = {}
             for i, g in enumerate(all_grids):
                 groups.setdefault(tuple(g), []).append(i)
@@ -684,24 +695,35 @@ class EmbedEngine:
                 # keeps one static compiled shape warm across refills.
                 for lo in range(0, len(idxs), self.vision_batch):
                     part = idxs[lo: lo + self.vision_batch]
-                    _t0 = _time.perf_counter()
+                    _tc0 = _time.perf_counter()
                     # raw uint8 pixel upload; normalize/patchify on device
                     batch_pixels = np.stack([all_pixels[i] for i in part])
-                    _t1 = _time.perf_counter()
+                    _ph["vision_pack"] += _time.perf_counter() - _tc0
+                    # NO sync here: successive chunk uploads/compute
+                    # overlap; the first prefill blocks on the bank.
                     embeds = self._get_vision_fn()(
                         self.params["vision"], jnp.asarray(batch_pixels),
                         jnp.asarray(cos), jnp.asarray(sin), None,
-                    )
-                    embeds = np.asarray(embeds)  # (B, S/m^2, hidden)
-                    _t2 = _time.perf_counter()
-                    if dbg:
-                        logger.warning(
-                            "vision group %s x%d: host-pack %.2fs "
-                            "run+sync %.2fs",
-                            grid, len(part), _t1 - _t0, _t2 - _t1)
+                    )                                   # (B, S/m^2, hidden)
+                    s_m = embeds.shape[1]
+                    bank_parts.append(embeds.reshape(-1, embeds.shape[-1]))
                     for j, i in enumerate(part):
-                        image_embeds_list[i] = embeds[j]
-        _ph["vision"] = _time.perf_counter() - _t0
+                        bank_start[i] = bank_off + j * s_m
+                        bank_count[i] = s_m
+                    bank_off += len(part) * s_m
+        if bank_parts:
+            bank = (bank_parts[0] if len(bank_parts) == 1
+                    else jnp.concatenate(bank_parts, axis=0))
+            # pow2-bucket the row count so the gather jit sees a stable
+            # shape set (axon remote-compiles cost seconds even for takes)
+            rows_pad = 1 << max(0, (bank.shape[0] - 1).bit_length())
+            if rows_pad != bank.shape[0]:
+                bank = jnp.pad(bank, ((0, rows_pad - bank.shape[0]), (0, 0)))
+            self._img_bank = bank
+        else:
+            self._img_bank = jnp.zeros((1, self.cfg.hidden_size),
+                                       self.cfg.dtype)
+        _ph["vision"] = _time.perf_counter() - _t0 - _ph["vision_pack"]
         _t0 = _time.perf_counter()
 
         prepared = []
@@ -715,16 +737,19 @@ class EmbedEngine:
                 self.cfg.image_token_id, merge,
             )
             is_img = np.asarray(ids) == self.cfg.image_token_id
-            img_rows = None
+            img_bank_rows = None
             img_local_idx = None
             if is_img.any():
                 n_img = len(grids)
-                img_rows = np.concatenate(
-                    image_embeds_list[img_i: img_i + n_img], axis=0)
+                img_bank_rows = np.concatenate([
+                    np.arange(bank_start[g], bank_start[g] + bank_count[g])
+                    for g in range(img_i, img_i + n_img)
+                ]).astype(np.int32)
                 img_local_idx = np.nonzero(is_img)[0]
                 img_i += n_img
             prepared.append(dict(prompt=prompt, ids=ids, pos=pos,
-                                 delta=int(delta), img_rows=img_rows,
+                                 delta=int(delta),
+                                 img_bank_rows=img_bank_rows,
                                  img_local_idx=img_local_idx))
         _ph["prompt"] = _time.perf_counter() - _t0
         self._prepare_phases = _ph
@@ -732,27 +757,35 @@ class EmbedEngine:
 
     def _pack_prompt_buffers(self, prepared, rows, pad_to):
         """Host-side padded prompt buffers shared by both prefill paths.
-        Returns (input_ids, mask, positions, img_embeds, img_mask) with
+        Returns (input_ids, mask, positions, img_gather, img_mask) with
         ``rows >= len(prepared)`` rows (extra bucket-padding rows stay
-        zero). img_embeds is a bf16 host buffer: halves the host->device
-        upload over the tunnel."""
-        import ml_dtypes
-
+        zero). img_gather is an int32 row-index map into ``self._img_bank``
+        — the dense (rows, pad_to, hidden) embedding buffer is gathered ON
+        DEVICE by _gather_img_embeds, so the host uploads 4 bytes per
+        position instead of a mostly-zero hidden-size row."""
         input_ids = np.zeros((rows, pad_to), np.int32)
         mask = np.zeros((rows, pad_to), np.int32)
         positions = np.zeros((3, rows, pad_to), np.int32)
-        img_embeds = np.zeros((rows, pad_to, self.cfg.hidden_size),
-                              ml_dtypes.bfloat16)
+        img_gather = np.zeros((rows, pad_to), np.int32)
         img_mask = np.zeros((rows, pad_to), np.int32)
         for i, p in enumerate(prepared):
             L = len(p["ids"])
             input_ids[i, :L] = p["ids"]
             mask[i, :L] = 1
             positions[:, i, :L] = p["pos"]
-            if p["img_rows"] is not None:
-                img_embeds[i, p["img_local_idx"]] = p["img_rows"]
+            if p["img_bank_rows"] is not None:
+                img_gather[i, p["img_local_idx"]] = p["img_bank_rows"]
                 img_mask[i, p["img_local_idx"]] = 1
-        return input_ids, mask, positions, img_embeds, img_mask
+        return input_ids, mask, positions, img_gather, img_mask
+
+    def _gather_img_embeds(self, img_gather):
+        """(rows, T) bank-row indices -> (rows, T, hidden) embeddings,
+        gathered from the on-device bank (one jitted take; the masked-out
+        positions read bank row 0 and are ignored via img_mask)."""
+        if self._gather_fn is None:
+            self._gather_fn = jax.jit(
+                lambda bank, idx: jnp.take(bank, idx, axis=0))
+        return self._gather_fn(self._img_bank, jnp.asarray(img_gather))
 
     def _prefill(self, prepared, max_tokens, rng, cache_size=None):
         """Padded-buffer prefill over a request list.
@@ -769,7 +802,7 @@ class EmbedEngine:
         assert max(prompt_lens) <= pad_to, "prompt exceeds max_prompt_len"
         cache_size = cache_size or (pad_to + max_tokens)
 
-        input_ids, mask, positions, img_embeds, img_mask = \
+        input_ids, mask, positions, img_gather, img_mask = \
             self._pack_prompt_buffers(prepared, m, pad_to)
 
         hd = self.cfg.head_dim
@@ -782,8 +815,8 @@ class EmbedEngine:
         first, hidden_dev, caches = self._get_prefill_fn()(
             self.params["lm"], jnp.asarray(input_ids),
             jnp.asarray(positions), jnp.asarray(mask),
-            jnp.asarray(img_embeds), jnp.asarray(img_mask), caches,
-            jnp.asarray(last_idx), rng,
+            self._gather_img_embeds(img_gather), jnp.asarray(img_mask),
+            caches, jnp.asarray(last_idx), rng,
         )
         # keep bf16: the host bf16->f32 cast of a (m, pad, D) buffer
         # measured ~13 M elem/s on a 1-vCPU host (15.9 s for a 64x512 fill)
@@ -836,7 +869,7 @@ class EmbedEngine:
         pad_to = min(n_chunks * c, bucket)
         assert pad_to <= cache_size
 
-        input_ids, _, positions, img_embeds, img_mask = \
+        input_ids, _, positions, img_gather, img_mask = \
             self._pack_prompt_buffers(prepared, m_pad, pad_to)
 
         hd = self.cfg.head_dim
@@ -859,7 +892,7 @@ class EmbedEngine:
             hidden_k, caches, last_acc = fn(
                 self.params["lm"], jnp.asarray(input_ids[:, lo:hi]),
                 jnp.asarray(positions[:, :, lo:hi]),
-                jnp.asarray(img_embeds[:, lo:hi]),
+                self._gather_img_embeds(img_gather[:, lo:hi]),
                 jnp.asarray(img_mask[:, lo:hi]), caches,
                 jnp.full((m_pad,), lo, jnp.int32), last_acc, last_idx_dev,
                 window,
@@ -1337,19 +1370,26 @@ class EmbedEngine:
                     t_refill += _time.perf_counter() - _t0
 
         # wall-time breakdown (always recorded; bench scripts emit it):
-        #   prepare_*      host resize / vision tower / tokenize+mrope
-        #   first_prefill  initial slot fill (device prefill + hidden d2h)
+        #   prepare_resize  host PIL resize + smart_resize math
+        #   prepare_vispack host np.stack of uint8 chunk batches
+        #   prepare_vision  vision-chunk dispatch (ASYNC — compute/upload
+        #                   overlap; sync lands in first_prefill)
+        #   prepare_prompt  tokenize + M-RoPE position build
+        #   first_prefill   initial slot fill (device prefill + hidden d2h
+        #                   — also absorbs the queued vision compute)
         #   decode_dispatch async chunk-scan dispatch cost
-        #   decode_sync    wait for chunk compute + tokens/hidden d2h
-        #   account        host python: token lists, EOS scan, finishes
-        #   refill_prefill refill groups (device prefill + hidden d2h
-        #                  + page-commit/scatter)
+        #   decode_sync     wait for chunk compute + tokens/hidden d2h
+        #   account         host python: token lists, EOS scan, finishes
+        #   refill_prefill  refill groups (device prefill + hidden d2h
+        #                   + page-commit/scatter)
         prep = getattr(self, "_prepare_phases",
-                       {"resize": 0.0, "vision": 0.0, "prompt": 0.0})
+                       {"resize": 0.0, "vision_pack": 0.0, "vision": 0.0,
+                        "prompt": 0.0})
         self.last_phase_stats = {
             "n_requests": n, "slots": slots, "chunks": n_chunks,
             "prepare_total": round(t_prepare, 3),
             "prepare_resize": round(prep["resize"], 3),
+            "prepare_vispack": round(prep["vision_pack"], 3),
             "prepare_vision": round(prep["vision"], 3),
             "prepare_prompt": round(prep["prompt"], 3),
             "first_prefill": round(t_first, 3),

@@ -57,12 +57,29 @@ def _round16(v: int) -> int:
 # =========================== forward ========================================
 
 
+LOG2E = 1.4426950408889634  # log2(e): softmax runs in the exp2 domain
+LN2 = 0.6931471805599453
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, bias_ref, mask_ref, qseg_ref, kseg_ref,
     o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
     q_len: int, kv_len: int, num_k_blocks: int,
 ):
+    """Forward block step. Two VPU-diet properties (measured at the
+    CogVideoX shape B2 H48 T17776 D64, where softmax VPU work — not the
+    depth-halved MXU — is the wall; PERF.md round-4 kernel table):
+
+      - exp2 domain: log2(e) is folded into the q prescale, so the online
+        softmax uses the native exp2 op and the running max/rescale never
+        pay the base conversion; the emitted logsumexp is converted back
+        to natural log once per row.
+      - lazy tail masking: when the only mask is the pad-to-block-multiple
+        kv boundary (no kv_mask/segments/causal — every diffusion
+        inference call), interior k blocks skip the iota/compare/where
+        entirely; only the final k block pays it.
+    """
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -72,52 +89,78 @@ def _fwd_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    def _compute():
-        q = q_ref[0].astype(jnp.float32) * sm_scale          # (bq, d)
-        k = k_ref[0].astype(jnp.float32)                      # (bk, d)
+    def _compute(boundary: bool):
+        # keep bf16 operands bf16: the MXU multiplies bf16 natively with
+        # f32 accumulation; upcasting first would force multi-pass f32
+        # matmuls. sm_scale*log2e is folded into the (cheap) q prescale.
+        q = q_ref[0] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)  # (bq, d)
+        k = k_ref[0]                                               # (bk, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                     # (bq, bk)
         if bias_ref is not None:
+            # bias is pre-scaled by log2(e) once in the wrapper (exp2 domain)
             s = s + bias_ref[0].astype(jnp.float32)
 
-        col = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = col < kv_len
-        if mask_ref is not None:
-            mask = jnp.logical_and(mask, mask_ref[0] > 0)     # (1, bk) bcast
-        if qseg_ref is not None:
-            # packing: (bq, 1) == (1, bk) — same-segment pairs only
-            mask = jnp.logical_and(mask, qseg_ref[0].T == kseg_ref[0])
-        if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
+        need_mask = boundary or mask_ref is not None \
+            or qseg_ref is not None or causal
+        if need_mask:
+            col = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
             )
-            mask = jnp.logical_and(mask, row >= col)
-        s = jnp.where(mask, s, NEG_INF)
+            mask = col < kv_len
+            if mask_ref is not None:
+                mask = jnp.logical_and(mask, mask_ref[0] > 0)  # (1, bk) bcast
+            if qseg_ref is not None:
+                # packing: (bq, 1) == (1, bk) — same-segment pairs only
+                mask = jnp.logical_and(mask, qseg_ref[0].T == kseg_ref[0])
+            if causal:
+                row = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                mask = jnp.logical_and(mask, row >= col)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scratch[:, :1]                             # (bq, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)            # (bq, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                                # (bq, bk)
-        alpha = jnp.exp(m_prev - m_new)                       # (bq, 1)
+        p = jnp.exp2(s - m_new)                               # (bq, bk)
+        alpha = jnp.exp2(m_prev - m_new)                      # (bq, 1)
         l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
-        v = v_ref[0].astype(jnp.float32)                      # (bk, d)
-        pv = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        v = v_ref[0]                                          # (bk, d)
+        pv = jnp.dot(p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
         acc_scratch[:] = acc_scratch[:] * alpha + pv
         m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
 
-    if causal:
-        # Skip fully-masked key blocks above the diagonal.
-        @pl.when(ki * block_k <= qi * block_q + (block_q - 1))
-        def _():
-            _compute()
+    # Interior blocks skip boundary masking; only blocks that can contain
+    # the kv_len boundary (the last one — or every block when the other
+    # masks are active anyway) pay the iota/compare/where.
+    always_mask = mask_ref is not None or qseg_ref is not None or causal
+    tail_pad = kv_len != num_k_blocks * block_k
+
+    def _step(boundary):
+        if causal:
+            # Skip fully-masked key blocks above the diagonal.
+            @pl.when(ki * block_k <= qi * block_q + (block_q - 1))
+            def _():
+                _compute(boundary)
+        else:
+            _compute(boundary)
+
+    if always_mask or not tail_pad:
+        _step(always_mask or tail_pad)
     else:
-        _compute()
+        @pl.when(ki < num_k_blocks - 1)
+        def _interior():
+            _step(False)
+
+        @pl.when(ki == num_k_blocks - 1)
+        def _tail():
+            _step(True)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -125,7 +168,8 @@ def _fwd_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse = m_scratch[:, :1] + jnp.log(l_safe)          # (bq, 1)
+            # exp2-domain running max -> natural-log lse for the backward
+            lse = m_scratch[:, :1] * LN2 + jnp.log(l_safe)    # (bq, 1)
             # emit COMPACT (1, 1, bq) rows — one small relayout per q
             # block. The previous (BH, tq, 128)-broadcast output buffer
             # cost 128x the HBM under TPU (8,128) tiling; at B32 H64 T128
@@ -231,7 +275,9 @@ def _flash_attention_forward(
     has_seg = q_seg is not None
     assert has_seg == (kv_seg is not None), "segment ids come in pairs"
     if has_bias:
-        spec, bias_r = _bias_inputs(bias, num_heads, tq, tk, block_q, block_k)
+        # pre-scale once: the forward softmax runs in the exp2 domain
+        spec, bias_r = _bias_inputs(bias.astype(jnp.float32) * LOG2E,
+                                    num_heads, tq, tk, block_q, block_k)
         in_specs.append(spec)
         inputs.append(bias_r)
     if has_mask:
