@@ -109,6 +109,7 @@ class FluxSampler:
         key = (num_steps, guidance)
         if key not in self._denoise_fn:
             transformer = self.transformer
+            model_dtype = self.cfg.dtype
 
             @jax.jit
             def denoise(params, latents, txt, pooled, img_ids, txt_ids, sigmas):
@@ -116,13 +117,16 @@ class FluxSampler:
                 g = jnp.full((b,), guidance, jnp.float32)
 
                 def step(x, i):
+                    # trajectory carried in f32; the model runs at its own
+                    # dtype (bf16 serving) — integrating the Euler update
+                    # in bf16 would compound rounding across all 28 steps
                     sigma = sigmas[i]
                     t = jnp.full((b,), sigma, jnp.float32)
                     v = transformer.apply(
-                        {"params": params}, x, txt, pooled, t, img_ids,
-                        txt_ids, g,
+                        {"params": params}, x.astype(model_dtype), txt,
+                        pooled, t, img_ids, txt_ids, g,
                     )
-                    x = x + (sigmas[i + 1] - sigma) * v.astype(x.dtype)
+                    x = x + (sigmas[i + 1] - sigma) * v.astype(jnp.float32)
                     return x, None
 
                 latents, _ = jax.lax.scan(
@@ -159,9 +163,10 @@ class FluxSampler:
         lat_h, lat_w = height // 8, width // 8
         seq_len = (lat_h // 2) * (lat_w // 2)
         rng = jax.random.PRNGKey(seed)
+        # f32 trajectory regardless of model dtype (see _get_denoise_fn)
         latents = jax.random.normal(
             rng, (b, seq_len, self.cfg.in_channels), jnp.float32
-        ).astype(self.cfg.dtype)
+        )
         img_ids = jnp.asarray(make_img_ids(lat_h, lat_w))
         txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
         sigmas = jnp.asarray(flux_sigmas(num_steps, seq_len))

@@ -177,6 +177,38 @@ def quantize_tree(params: Any, min_size: int = 1 << 16,
     return rec(params)
 
 
+def quantize_like(params: Any, ref_struct: Any) -> Any:
+    """Structure-guided quantization: quantize exactly the kernels the
+    quantized model declares as QDense triplets, leaving every other leaf
+    (plain nn.Dense kernels, norms, embeddings, convs) untouched.
+
+    ``ref_struct`` is the quantized model's param pytree structure, e.g.
+    ``jax.eval_shape(model.init, ...)["params"]``. Unlike quantize_tree's
+    size heuristic this is safe for models that MIX QDense with plain
+    nn.Dense — FLUX/CogVideoX time-text embedders are plain Dense
+    (models/flux.py:139-142) while every block projection is QDense — so
+    it is the real-checkpoint loading path for quantized diffusion
+    serving (w8a8 is the measured FLUX serving default, PERF.md)."""
+
+    def rec(p, r):
+        if not isinstance(p, dict) or not isinstance(r, dict):
+            return p
+        out = {}
+        for k, v in p.items():
+            if k == "kernel" and "kernel_q" in r:
+                qw = quantize_weight(np.asarray(v, np.float32))
+                out["kernel_q"] = qw["q"]
+                out["kernel_scale"] = qw["scale"]
+                if "input_scale" in r:
+                    out["input_scale"] = np.ones(
+                        np.asarray(v).shape[0], np.float32)
+            else:
+                out[k] = rec(v, r.get(k) if isinstance(r, dict) else None)
+        return out
+
+    return rec(params, ref_struct)
+
+
 def collect_act_stats(module, variables, *args, method=None,
                       stats: Any = None, **kwargs) -> Any:
     """Run one forward with the 'act_stats' collection mutable and fold the
