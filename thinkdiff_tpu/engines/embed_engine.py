@@ -245,6 +245,35 @@ class GenerationResult:
     input_prompts: List[str]
 
 
+class _HostHidden:
+    """Lazy device->host view of hidden-state buffers. The transfer is
+    STARTED immediately (copy_to_host_async) but materialization waits
+    until a consumer needs numpy — so the ~100 MB/iteration of prefill +
+    decode hidden d2h streams over the tunnel WHILE the next decode chunk
+    or refill computes, instead of serializing the serving loop (measured
+    ~180 ms/decode-chunk + ~1 s/refill of pure blocked transfer at the
+    64-slot operating point). Parts with a leading batch row dim can be
+    indexed before resolve()."""
+
+    __slots__ = ("parts", "axis", "_np")
+
+    def __init__(self, parts, axis=1):
+        for p in parts:
+            if hasattr(p, "copy_to_host_async"):
+                p.copy_to_host_async()
+        self.parts = parts
+        self.axis = axis
+        self._np = None
+
+    def resolve(self) -> np.ndarray:
+        if self._np is None:
+            ps = [np.asarray(p) for p in self.parts]
+            self._np = ps[0] if len(ps) == 1 else np.concatenate(
+                ps, axis=self.axis)
+            self.parts = None  # release device refs
+        return self._np
+
+
 class EmbedEngine:
     def __init__(self, cfg: Qwen2VLConfig, params: Dict[str, Any],
                  tokenizer=None, *, max_prompt_len: int = 1024,
@@ -818,10 +847,9 @@ class EmbedEngine:
             self._gather_img_embeds(img_gather), jnp.asarray(img_mask),
             caches, jnp.asarray(last_idx), rng,
         )
-        # keep bf16: the host bf16->f32 cast of a (m, pad, D) buffer
-        # measured ~13 M elem/s on a 1-vCPU host (15.9 s for a 64x512 fill)
-        # — and bf16 is what the reference's vLLM fork hands back anyway
-        hidden = np.asarray(hidden_dev)
+        # keep bf16 (host bf16->f32 casts are ~13 M elem/s on a 1-vCPU
+        # host) and LAZY: the d2h streams behind subsequent device work
+        hidden = _HostHidden([hidden_dev])
         start_pos = np.asarray(
             [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
             np.int32)
@@ -901,9 +929,8 @@ class EmbedEngine:
         first = self._get_first_fn()(self.params["lm"], last_acc, rng)[:m]
         if m_pad != m:
             caches = jax.tree.map(lambda a: a[:m], caches)
-        hidden = np.concatenate(
-            [np.asarray(h)[:m] for h in hid_chunks], axis=1
-        )  # bf16 (see _prefill)
+        # bf16 + lazy (see _prefill); padding rows >= m are never indexed
+        hidden = _HostHidden(hid_chunks, axis=1)
         start_pos = np.asarray(
             [prompt_lens[i] + prepared[i]["delta"] for i in range(m)],
             np.int32)
@@ -929,6 +956,7 @@ class EmbedEngine:
         rng, sub = jax.random.split(rng)
         first, hidden, caches, prompt_lens, last_idx, start_pos = \
             self._prefill(prepared, max_tokens, sub)
+        hidden = hidden.resolve()  # static path consumes immediately
 
         decode = self._get_decode_fn(
             max_tokens - 1, self.min_tokens, self.temperature, self.top_p
@@ -1273,8 +1301,13 @@ class EmbedEngine:
                 r_first_np = np.asarray(r_first)
                 for j, si in enumerate(g_slots):
                     slot_tokens[si] = [int(r_first_np[j])]
-                    slot_hidden[si] = [r_hidden[j, r_last[j]][None]]
-                    slot_prompt_hidden[si] = r_hidden[j, :r_lens[j]]
+                    # lazy hidden PIECES (resolved at result assembly so
+                    # the d2h overlaps decode): ("seed"/"gen", lazy, row,
+                    # take) and ("prompt", lazy, row, prompt_len)
+                    slot_hidden[si] = [("seed", r_hidden, j,
+                                        int(r_last[j]))]
+                    slot_prompt_hidden[si] = ("prompt", r_hidden, j,
+                                              int(r_lens[j]))
                     slot_gen[si] = 1
 
         # ---- initial fill ----
@@ -1293,13 +1326,14 @@ class EmbedEngine:
                         break
             cut = min(cut, max_tokens)
             toks = toks[:cut]
-            hid = np.concatenate(slot_hidden[si], axis=0)[:cut]
             p = prepared[req]
             text = self.tokenizer.decode(
                 [t for t in toks if t not in self.eos_ids],
                 skip_special_tokens=True) if self.tokenizer else ""
+            # hidden stays as lazy pieces; assembled after the decode loop
             results[req] = (text, list(p["ids"]), toks,
-                            slot_prompt_hidden[si], hid, p["prompt"])
+                            slot_prompt_hidden[si],
+                            (list(slot_hidden[si]), cut), p["prompt"])
 
         t_decode = t_sync = t_refill = t_account = 0.0
         n_chunks = 0
@@ -1325,8 +1359,10 @@ class EmbedEngine:
                     self.params["lm"], caches, tokens_dev, cache_len, pos,
                     gen_count, sub)
             _t1 = _time.perf_counter()
+            # hidden d2h is LAZY (streams behind the next chunk's compute);
+            # only the token matrix blocks the loop
+            chunk_hidden = _HostHidden([chunk_hidden])
             chunk_tokens = np.asarray(chunk_tokens)          # (S, chunk)
-            chunk_hidden = np.asarray(chunk_hidden)  # bf16, no host cast
             _t2 = _time.perf_counter()
             t_decode += _t1 - _t0
             t_sync += _t2 - _t1
@@ -1339,7 +1375,7 @@ class EmbedEngine:
                     continue
                 take = min(chunk, max_tokens - slot_gen[si])
                 slot_tokens[si].extend(int(t) for t in chunk_tokens[si, :take])
-                slot_hidden[si].append(chunk_hidden[si, :take])
+                slot_hidden[si].append(("gen", chunk_hidden, si, int(take)))
                 slot_gen[si] += take
                 done = slot_gen[si] >= max_tokens
                 if not done and not self.ignore_eos and self.eos_ids:
@@ -1401,7 +1437,20 @@ class EmbedEngine:
         }
         if dbg:
             logger.warning("generate_many phases: %s", self.last_phase_stats)
-        ordered = [results[i] for i in range(n)]
+
+        # materialize the lazy hidden pieces (transfers already done or in
+        # flight — this is host-side assembly, not a device sync point)
+        def _hid(piece):
+            kind, h, row, k = piece
+            arr = h.resolve()
+            return arr[row, k][None] if kind == "seed" else arr[row, :k]
+
+        final = []
+        for i in range(n):
+            text, ids, toks, prompt_piece, (gen_pieces, cut), prm = results[i]
+            hid = np.concatenate([_hid(p) for p in gen_pieces], axis=0)[:cut]
+            final.append((text, ids, toks, _hid(prompt_piece), hid, prm))
+        ordered = final
         cols = list(zip(*ordered))
         return GenerationResult(
             texts=list(cols[0]), prompt_token_ids=list(cols[1]),
