@@ -309,6 +309,8 @@ def test_top_k_prefilter_truncation_mass_realistic():
     the prefilter accepts (vLLM's does the same)."""
     v = 151_936
     temperature, top_p, k = 0.6, 0.9, 1024
+    k_engine = 64   # the engine's serving default (sample_logits) — 2.9 ms
+    #                 vs 10.9 ms/step at k=1024 on (64, 152k), PERF.md r4
     rs = np.random.RandomState(0)
 
     def nucleus_truncation(logits):
@@ -329,6 +331,11 @@ def test_top_k_prefilter_truncation_mass_realistic():
         (base + rs.normal(0, 1.0, v)).astype(np.float32))
     assert n_nucleus < k, "realistic nucleus must sit inside the prefilter"
     assert lost == 0.0
+    # the serving default k=64 must ALSO hold the realistic shape: the
+    # temp-0.6 nucleus is a few dozen tokens, so the fast prefilter cuts
+    # nothing there either
+    assert n_nucleus < k_engine, (
+        "realistic nucleus must sit inside the engine's k=64 prefilter")
 
     # near-flat adversarial tail: nucleus wider than k -> prefilter truncates
     flat = rs.normal(0, 0.3, v).astype(np.float32)

@@ -206,12 +206,18 @@ def preprocess_image(image, patch_size: int = 14, merge: int = 2,
 # ---------------------------------------------------------------------------
 
 def sample_logits(rng, logits, temperature: float, top_p: float,
-                  top_k_prefilter: int = 1024):
+                  top_k_prefilter: int = 64):
     """(B, V) logits -> (B,) token ids, temperature + nucleus sampling.
 
     Nucleus runs over a top-k prefilter (vLLM-style): a full 152k-vocab sort
-    per step is far more expensive on TPU than top_k; any realistic top_p
-    mass sits well inside the top 1024.
+    per step is far more expensive on TPU than top_k. Prefilter size is a
+    decode-latency knob: on one v5e chip at (64, 152k) f32, lax.top_k costs
+    10.9 ms at k=1024 but 2.9 ms at k=64 (argmax, the floor for any full-V
+    pass, is 2.5 ms) — at the serving temp 0.6 the top_p=0.9 nucleus is a
+    few dozen tokens (tests/test_embed_engine.py truncation-mass analysis
+    gates k=64 at the real 152k vocab), so the engine defaults to 64 and
+    only near-flat adversarial tails — already truncated at 1024 — see a
+    different (smaller) keep set.
     """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -286,7 +292,8 @@ class EmbedEngine:
                  max_num_seqs: int = 16, kv_page_size: int = 64,
                  vision_batch: int = 32,
                  prefill_chunk: Optional[int] = None,
-                 prompt_format: str = "qwen2_vl"):
+                 prompt_format: str = "qwen2_vl",
+                 top_k_prefilter: int = 64):
         from thinkdiff_tpu.core.distributed import enable_compilation_cache
 
         # serving cold-start: persist compiled executables across engine
@@ -308,6 +315,9 @@ class EmbedEngine:
         self.min_tokens = min_tokens
         self.temperature = temperature
         self.top_p = top_p
+        # nucleus prefilter width (see sample_logits): 64 saves ~8 ms/step
+        # at the 64-slot/152k-vocab serving point vs the old 1024 default
+        self.top_k_prefilter = int(top_k_prefilter)
         self.ignore_eos = ignore_eos
         self.eos_ids = list(eos_ids)
         self.system_prompt = system_prompt
@@ -416,6 +426,7 @@ class EmbedEngine:
             kv_page_size=int(vcfg.get("kv_page_size",
                                       vcfg.get("block_size", 64))),
             vision_batch=int(vcfg.get("vision_batch", 32)),
+            top_k_prefilter=int(vcfg.get("top_k_prefilter", 64)),
             # vLLM flag name honored; explicit prefill_chunk sets the chunk
             # (0/None/absent = bucketed one-shot prefill)
             prefill_chunk=(int(vcfg.get("prefill_chunk") or 0)
@@ -527,6 +538,7 @@ class EmbedEngine:
         and the chunked-prefill tail, so a min_tokens/EOS change cannot
         silently diverge the two paths."""
         temperature, top_p = self.temperature, self.top_p
+        top_k_pref = self.top_k_prefilter
         block_first_eos = (not self.ignore_eos) and self.min_tokens > 1
         eos_arr = jnp.asarray(
             self.eos_ids if self.eos_ids else [-1], jnp.int32
@@ -538,7 +550,8 @@ class EmbedEngine:
                     jnp.isin(jnp.arange(logits.shape[-1]), eos_arr)[None],
                     -jnp.inf, logits.astype(jnp.float32),
                 )
-            return sample_logits(rng, logits, temperature, top_p)
+            return sample_logits(rng, logits, temperature, top_p,
+                                 top_k_prefilter=top_k_pref)
 
         return sample_first
 
@@ -608,6 +621,7 @@ class EmbedEngine:
             self.eos_ids if self.eos_ids else [-1], jnp.int32
         )
         ignore_eos = self.ignore_eos
+        top_k_pref = self.top_k_prefilter
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def decode(params, caches, first_tokens, start_pos, prompt_len, rng):
@@ -637,7 +651,8 @@ class EmbedEngine:
                         ),
                         -jnp.inf, logits_last,
                     )
-                nxt = sample_logits(sub, logits_last, temperature, top_p)
+                nxt = sample_logits(sub, logits_last, temperature, top_p,
+                                    top_k_prefilter=top_k_pref)
                 return (
                     (caches, nxt, cache_len + 1, pos + 1, rng),
                     (nxt, hidden[:, 0].astype(jnp.bfloat16)),
@@ -1022,6 +1037,7 @@ class EmbedEngine:
             return self._chunk_fns[key]
         eos_arr = jnp.asarray(self.eos_ids if self.eos_ids else [-1], jnp.int32)
         ignore_eos = self.ignore_eos
+        top_k_pref = self.top_k_prefilter
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk_decode(params, caches, tokens, cache_len, pos, gen_count, rng):
@@ -1047,7 +1063,8 @@ class EmbedEngine:
                             jnp.isin(jnp.arange(logits_last.shape[-1]),
                                      eos_arr)[None]),
                         -jnp.inf, logits_last.astype(jnp.float32))
-                nxt = sample_logits(sub, logits_last, temperature, top_p)
+                nxt = sample_logits(sub, logits_last, temperature, top_p,
+                                    top_k_prefilter=top_k_pref)
                 return ((caches, nxt, cache_len + 1, pos + 1,
                          gen_count + 1, rng),
                         (nxt, hidden[:, 0].astype(jnp.bfloat16)))
@@ -1085,6 +1102,7 @@ class EmbedEngine:
             return self._paged_chunk_fns[key]
         eos_arr = jnp.asarray(self.eos_ids if self.eos_ids else [-1], jnp.int32)
         ignore_eos = self.ignore_eos
+        top_k_pref = self.top_k_prefilter
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk_decode(params, pools, page_table, tokens, cache_len, pos,
@@ -1109,7 +1127,8 @@ class EmbedEngine:
                             jnp.isin(jnp.arange(logits_last.shape[-1]),
                                      eos_arr)[None]),
                         -jnp.inf, logits_last.astype(jnp.float32))
-                nxt = sample_logits(sub, logits_last, temperature, top_p)
+                nxt = sample_logits(sub, logits_last, temperature, top_p,
+                                    top_k_prefilter=top_k_pref)
                 return ((pools, nxt, cache_len + 1, pos + 1,
                          gen_count + 1, rng),
                         (nxt, hidden[:, 0].astype(jnp.bfloat16)))
