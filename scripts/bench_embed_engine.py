@@ -63,7 +63,9 @@ def main():
                         help="emulated generation-length mean (the CC-SBU "
                              "caption workload finishes at EOS well before "
                              "max_tokens; random weights never sample EOS, "
-                             "so lengths are emulated via the stop hook)")
+                             "so lengths are emulated via the stop hook). "
+                             "0 = fixed max_tokens for every request (the "
+                             "reference LVLM eval shape min=max tokens)")
     parser.add_argument("--json", type=str, default="",
                         help="append one JSON result line to this file")
     parser.add_argument("--prefill-chunk", type=int, default=0,
@@ -129,8 +131,14 @@ def main():
     iter_times = []
     if args.mode in ("continuous", "paged"):
         n = args.n or slots * 4
-        lengths = np.clip(rs.normal(args.mean_len, args.mean_len // 2, n)
-                          .astype(int), 8, args.max_tokens)
+        if args.mean_len <= 0:
+            # min_tokens = max_tokens eval shape (the reference's LVLM
+            # inference point: configs/test_thinkdiff_lvlm_*.yaml sets
+            # min=max=128 with ignore_eos)
+            lengths = np.full(n, args.max_tokens, dtype=int)
+        else:
+            lengths = np.clip(rs.normal(args.mean_len, args.mean_len // 2, n)
+                              .astype(int), 8, args.max_tokens)
         engine.ignore_eos = False
         engine.eos_ids = [2]
         engine.stop_fn = lambda req, toks: len(toks) >= lengths[req]

@@ -64,6 +64,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", choices=list(SHAPES) + ["all"], default="all")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--no-splash", action="store_true",
+                    help="skip the jax splash-attention sweep (its round-3 "
+                         "numbers are in PERF.md; use this to re-measure "
+                         "only the in-tree kernel after a change)")
     args = ap.parse_args()
 
     from thinkdiff_tpu.ops.flash_attention import flash_attention
@@ -95,7 +99,7 @@ def main():
                           "blocks": [bq, bk], "ms": round(dt * 1e3, 1),
                           "tflops_per_sec": round(flops / dt / 1e12, 1)}))
 
-        if not have_splash:
+        if not have_splash or args.no_splash:
             continue
         # splash wants padded T multiples of its block sizes; sweep a few.
         # Real use must MASK the padded keys — measure with segment ids
