@@ -169,3 +169,99 @@ def test_projector_convert_accepts_bare_linear_form():
     out = export_projector_torch(flat, "linear")
     np.testing.assert_array_equal(out["mm_projector.weight"], w)
     np.testing.assert_array_equal(out["mm_projector.bias"], b)
+
+
+def test_lvlm_eval_metrics_matches_loss_and_bounds(lvlm_model):
+    """eval_metrics_fn: loss equals loss_fn (same forward, chunked stats
+    numerics are per-row softmax so chunking changes nothing) and token
+    accuracy is a sane [0,1] fraction over non-ignored labels."""
+    m = lvlm_model
+    rng = np.random.RandomState(3)
+    labels = rng.randint(1, 128, (2, 5))
+    labels[0, 3:] = -100
+    batch = {
+        "embeds": jnp.array(rng.randn(2, 7, 24), jnp.float32),
+        "embed_mask": jnp.ones((2, 7), jnp.int32),
+        "labels": jnp.array(labels),
+    }
+    loss = float(m.loss_fn(m.trainable, m.frozen, batch))
+    eloss, correct, total = (float(x) for x in
+                             m.eval_metrics_fn(m.trainable, m.frozen, batch))
+    assert np.isclose(loss, eloss, rtol=1e-4)
+    assert total == float((labels != -100).sum())
+    assert 0.0 <= correct <= total
+
+
+def test_clip_eval_metrics_matches_loss(clip_model):
+    m = clip_model
+    batch = _clip_batch()
+    loss = float(m.loss_fn(m.trainable, m.frozen, batch))
+    eloss, correct, total = (float(x) for x in
+                             m.eval_metrics_fn(m.trainable, m.frozen, batch))
+    assert np.isclose(loss, eloss, rtol=1e-4)
+    assert total == float(np.prod(batch["labels"].shape))
+    assert 0.0 <= correct <= total
+
+
+def test_ce_stats_perfect_prediction_accuracy():
+    """Planted logits: argmax == label everywhere -> token_acc 1.0; the
+    chunked and monolithic stats paths agree."""
+    from thinkdiff_tpu.models.t5 import ce_stats
+    from thinkdiff_tpu.ops.chunked_ce import chunked_head_ce_stats
+
+    rs = np.random.RandomState(0)
+    b, t, d, v = 2, 9, 8, 16
+    labels = rs.randint(0, v, (b, t))
+    labels[1, 6:] = -100
+    hidden = jnp.array(rs.randn(b, t, d), jnp.float32)
+    head = {"kernel": jnp.array(rs.randn(d, v) * 0.1, jnp.float32)}
+    logits = hidden @ head["kernel"]
+    l0, c0, n0 = ce_stats(logits, jnp.array(labels))
+    l1, c1, n1 = chunked_head_ce_stats(
+        hidden, jnp.array(labels), head, dtype=jnp.float32, chunk=4)
+    assert np.isclose(float(l0), float(l1), rtol=1e-5)
+    assert float(c0) == float(c1) and float(n0) == float(n1)
+    # plant: labels = argmax(logits) -> accuracy exactly 1
+    planted = np.array(jnp.argmax(logits, axis=-1))
+    planted[1, 6:] = -100
+    _, c2, n2 = chunked_head_ce_stats(
+        hidden, jnp.array(planted), head, dtype=jnp.float32, chunk=4)
+    assert float(c2) == float(n2) == float((planted != -100).sum())
+
+
+def test_evaluation_best_metric_token_acc(lvlm_model):
+    """tasks.BaseTask.evaluation with best_metric=token_acc drives
+    agg_metrics from accuracy; default stays -loss (reference behavior)."""
+    from thinkdiff_tpu.tasks.base_task import BaseTask
+
+    m = lvlm_model
+
+    class _Trainer:
+        model = m
+        frozen = m.frozen
+
+        def prepare_batch(self, b):
+            return b
+
+        def eval_step(self, state, batch):
+            return m.loss_fn(state["params"], m.frozen, batch)
+
+        def eval_metrics_step(self, state, batch):
+            return m.eval_metrics_fn(state["params"], m.frozen, batch)
+
+    rng = np.random.RandomState(5)
+    batches = [{
+        "embeds": jnp.array(rng.randn(2, 7, 24), jnp.float32),
+        "embed_mask": jnp.ones((2, 7), jnp.int32),
+        "labels": jnp.array(rng.randint(1, 128, (2, 5))),
+    } for _ in range(2)]
+    state = {"params": m.trainable}
+    task = BaseTask()
+    out_acc = task.evaluation(_Trainer(), state, iter(batches),
+                              best_metric="token_acc")
+    assert "token_acc" in out_acc
+    assert out_acc["agg_metrics"] == out_acc["token_acc"]
+    assert 0.0 <= out_acc["token_acc"] <= 1.0
+    out_loss = task.evaluation(_Trainer(), state, iter(batches))
+    assert out_loss["agg_metrics"] == -out_loss["loss"]
+    assert "token_acc" not in out_loss

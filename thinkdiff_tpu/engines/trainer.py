@@ -128,6 +128,20 @@ class Trainer:
             )
         return self._jit_eval(state["params"], self.frozen, batch)
 
+    def eval_metrics_step(self, state, batch):
+        """(loss, n_correct, n_tokens) via the model's optional
+        ``eval_metrics_fn`` — the metric-driven best-checkpoint path
+        (``run.best_metric: token_acc``). Returns None if the model
+        doesn't provide eval metrics (callers fall back to loss)."""
+        fn = getattr(self.model, "eval_metrics_fn", None)
+        if fn is None:
+            return None
+        if getattr(self, "_jit_eval_metrics", None) is None:
+            self._jit_eval_metrics = jax.jit(
+                lambda params, frozen, batch: fn(params, frozen, batch)
+            )
+        return self._jit_eval_metrics(state["params"], self.frozen, batch)
+
 
 def global_batch_slices(batch: Dict[str, np.ndarray], mesh) -> Dict[str, Any]:
     """Form a globally-sharded batch from this host's local shard via

@@ -28,7 +28,8 @@ from thinkdiff_tpu.models.projector import (
     build_vision_projector, convert_projector_torch,
 )
 from thinkdiff_tpu.models.t5 import (
-    T5Config, T5ForConditionalGeneration, cross_entropy_loss, shift_right,
+    T5Config, T5ForConditionalGeneration, ce_stats, cross_entropy_loss,
+    shift_right,
 )
 from thinkdiff_tpu.models.vit import ViTConfig, VisionTransformer, vision_downsample
 
@@ -192,6 +193,22 @@ class BlipVisionT5Decoder(BaseModel):
             extra_encoder_states=proj,
         )
         return cross_entropy_loss(logits, labels)
+
+    def eval_metrics_fn(self, trainable, frozen, batch):
+        """(loss, n_correct, n_tokens) with teacher-forced next-token
+        accuracy — see aligner_lvlm.eval_metrics_fn; opt-in via
+        ``run.best_metric: token_acc``."""
+        tokens = self.encode_image(frozen, batch["pixel_values"])
+        proj = self.project(trainable, tokens)
+        labels = batch["labels"]
+        logits = self.t5.apply(
+            {"params": frozen["t5"]},
+            input_ids=batch["input_ids"],
+            attention_mask=batch.get("input_mask"),
+            decoder_input_ids=shift_right(labels),
+            extra_encoder_states=proj,
+        )
+        return ce_stats(logits, labels)
 
     def forward_encoder(self, pixel_values):
         """Host-callable inference: image -> aligned T5-space tokens."""

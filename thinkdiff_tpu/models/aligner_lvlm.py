@@ -31,7 +31,8 @@ from thinkdiff_tpu.models.projector import (
     build_vision_projector, convert_projector_torch,
 )
 from thinkdiff_tpu.models.t5 import (
-    T5Config, T5ForConditionalGeneration, cross_entropy_loss, shift_right,
+    T5Config, T5ForConditionalGeneration, ce_stats, cross_entropy_loss,
+    shift_right,
 )
 
 logger = logging.getLogger(__name__)
@@ -246,6 +247,43 @@ class MllamaT5EmbedDecoder(BaseModel):
             decoder_segments=dec_seg, encoder_segments=enc_seg,
         )
         return cross_entropy_loss(logits, labels)
+
+    def eval_metrics_fn(self, trainable, frozen, batch):
+        """Eval-split metrics beyond the loss: (loss, n_correct, n_tokens)
+        where correctness is teacher-forced next-token accuracy. Drives the
+        opt-in ``run.best_metric: token_acc`` checkpoint selection
+        (tasks/base_task.py); the reference selects best on loss only
+        (its ``agg_metrics`` is -loss), so loss stays the default."""
+        proj = self.project(trainable, batch["embeds"], None)
+        labels = batch["labels"]
+        dec_ids = batch.get("decoder_input_ids")
+        if dec_ids is None:
+            dec_ids = shift_right(labels)
+        dec_seg = batch.get("dec_segments")
+        enc_seg = batch.get("enc_segments")
+        if not self.t5_cfg.tie_word_embeddings:
+            from thinkdiff_tpu.ops.chunked_ce import chunked_head_ce_stats
+
+            hidden = self.t5.apply(
+                {"params": frozen["t5"]},
+                method=self.t5.decode_hidden,
+                decoder_input_ids=dec_ids,
+                encoder_states=proj,
+                cross_mask=batch.get("embed_mask"),
+                decoder_segments=dec_seg, encoder_segments=enc_seg,
+            )
+            return chunked_head_ce_stats(
+                hidden, labels, frozen["t5"]["lm_head"], dtype=self.dtype,
+                chunk=int(self.cfg.get("chunked_ce", 32) or 32))
+        logits = self.t5.apply(
+            {"params": frozen["t5"]},
+            method=self.t5.decode_with_encoder_states,
+            decoder_input_ids=dec_ids,
+            encoder_states=proj,
+            cross_mask=batch.get("embed_mask"),
+            decoder_segments=dec_seg, encoder_segments=enc_seg,
+        )
+        return ce_stats(logits, labels)
 
     def calibrate_w8a8(self, batches, alpha: float = 0.5) -> None:
         """SmoothQuant-style channel equalization of the frozen w8a8 tower

@@ -578,3 +578,17 @@ def cross_entropy_loss(logits, labels, ignore_index: int = -100):
     token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     loss = -jnp.sum(token_ll * valid) / jnp.maximum(jnp.sum(valid), 1)
     return loss
+
+
+def ce_stats(logits, labels, ignore_index: int = -100):
+    """(loss, n_correct, n_tokens) — CE plus teacher-forced next-token
+    accuracy counts over non-ignored positions. Monolithic-logits analog
+    of ops/chunked_ce.chunked_head_ce_stats, for the eval-metrics path."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    count = jnp.sum(valid.astype(jnp.float32))
+    loss = -jnp.sum(token_ll * valid) / jnp.maximum(count, 1.0)
+    hit = (jnp.argmax(logp, axis=-1) == safe_labels) & valid
+    return loss, jnp.sum(hit.astype(jnp.float32)), count

@@ -92,3 +92,48 @@ def chunked_head_cross_entropy(
     (sum_ll, count), _ = jax.lax.scan(
         body, (jnp.float32(0.0), jnp.float32(0.0)), (h_chunks, y_chunks))
     return -sum_ll / jnp.maximum(count, 1.0)
+
+
+def chunked_head_ce_stats(
+    hidden: jnp.ndarray,
+    labels: jnp.ndarray,
+    head: Dict[str, Any],
+    dtype: Any = jnp.bfloat16,
+    chunk: int = 32,
+    ignore_index: int = -100,
+):
+    """Eval-side variant of :func:`chunked_head_cross_entropy` that also
+    accumulates teacher-forced next-token accuracy (argmax(logits) == label
+    over non-ignored positions). Returns ``(loss, n_correct, n_tokens)``
+    scalars. Used by the optional metric-driven best-checkpoint selection
+    (``run.best_metric: token_acc`` — the reference selects on loss only,
+    base_task ``agg_metrics``; this is the framework's opt-in upgrade).
+    No ``jax.checkpoint``: eval runs without autodiff, so chunk logits are
+    freed as the scan advances."""
+    b, t, d = hidden.shape
+    if t % chunk:
+        pad = chunk - t % chunk
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=ignore_index)
+        t += pad
+    n = t // chunk
+    h_chunks = hidden.reshape(b, n, chunk, d).transpose(1, 0, 2, 3)
+    y_chunks = labels.reshape(b, n, chunk).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        h, y = xs
+        logits = apply_lm_head(h, head, dtype).astype(jnp.float32)
+        valid = y != ignore_index
+        safe = jnp.where(valid, y, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        hit = (jnp.argmax(logits, axis=-1) == safe) & valid
+        s, c, k = carry
+        return (s + jnp.sum(ll * valid),
+                c + jnp.sum(valid.astype(jnp.float32)),
+                k + jnp.sum(hit.astype(jnp.float32))), None
+
+    (sum_ll, count, correct), _ = jax.lax.scan(
+        body, (jnp.float32(0.0),) * 3, (h_chunks, y_chunks))
+    return -sum_ll / jnp.maximum(count, 1.0), correct, count

@@ -143,7 +143,9 @@ class RunnerBase:
                         val = self.task.evaluation(
                             self.trainer, self.state, loader,
                             max_batches=self.config.run_cfg.get(
-                                "max_eval_batches", None))
+                                "max_eval_batches", None),
+                            best_metric=self.config.run_cfg.get(
+                                "best_metric", "loss"))
                         self.log_stats(val, split_name=split, epoch=epoch)
                         if val["agg_metrics"] > best_agg and is_main_process():
                             best_agg = val["agg_metrics"]
@@ -184,7 +186,9 @@ class RunnerBase:
                 val = self.task.evaluation(
                     self.trainer, self.state, loader,
                     max_batches=self.config.run_cfg.get(
-                        "max_eval_batches", None))
+                        "max_eval_batches", None),
+                    best_metric=self.config.run_cfg.get(
+                        "best_metric", "loss"))
                 self.log_stats(val, split_name=split, epoch=cur_epoch)
                 results[split] = val
         barrier()

@@ -152,15 +152,40 @@ class BaseTask:
 
             _wlog({"loss": loss, "lr": lr})
 
-    def evaluation(self, trainer, state, data_loader, max_batches: Optional[int] = None):
+    def evaluation(self, trainer, state, data_loader,
+                   max_batches: Optional[int] = None,
+                   best_metric: str = "loss"):
+        """Eval-split pass. ``best_metric`` selects what ``agg_metrics``
+        carries (the runner keeps the checkpoint with the highest value):
+
+        - ``"loss"`` (default): -mean(loss) — the reference's behavior
+          (its base_task agg_metrics is loss-derived).
+        - ``"token_acc"``: token-weighted teacher-forced next-token
+          accuracy via the model's ``eval_metrics_fn`` (falls back to
+          loss if the model has none). Opt-in: ``run.best_metric``.
+        """
         losses = []
+        correct = total = 0.0
+        want_acc = best_metric == "token_acc"
         for i, batch in enumerate(data_loader):
             if max_batches is not None and i >= max_batches:
                 break
             batch = trainer.prepare_batch(batch)
-            losses.append(float(trainer.eval_step(state, batch)))
-        return {"agg_metrics": -float(np.mean(losses)) if losses else 0.0,
-                "loss": float(np.mean(losses)) if losses else 0.0}
+            stats = trainer.eval_metrics_step(state, batch) if want_acc else None
+            if stats is not None:
+                loss, n_ok, n_tok = (float(x) for x in stats)
+                losses.append(loss)
+                correct += n_ok
+                total += n_tok
+            else:
+                want_acc = False
+                losses.append(float(trainer.eval_step(state, batch)))
+        out = {"agg_metrics": -float(np.mean(losses)) if losses else 0.0,
+               "loss": float(np.mean(losses)) if losses else 0.0}
+        if want_acc and total:
+            out["token_acc"] = correct / total
+            out["agg_metrics"] = out["token_acc"]
+        return out
 
 
 def save_result(result, result_dir: str, filename: str,
