@@ -78,6 +78,11 @@ def main():
     parser.add_argument("--refill-batch", type=int, default=0,
                         help="cap refill prefill groups to this many rows "
                              "(0 = engine default)")
+    parser.add_argument("--vision-quant", choices=["none", "int8", "w8a8"],
+                        default="none",
+                        help="vision-tower quantization (decoder quant is "
+                             "--quant); vision is the widest engine compute "
+                             "so w8a8's s8 MXU rate applies where it pays")
     args = parser.parse_args()
 
     import jax
@@ -94,7 +99,8 @@ def main():
     fused = {"auto": bool(quant), "on": True, "off": False}[args.fused]
     mk = (Qwen2VLConfig.qwen2_vl_7b if args.model == "7b"
           else Qwen2VLConfig.qwen2_vl_2b)
-    cfg = mk(quant_int8=quant, fused_proj=fused)
+    vquant = {"none": False, "int8": True, "w8a8": "w8a8"}[args.vision_quant]
+    cfg = mk(quant_int8=quant, fused_proj=fused, vision_quant=vquant)
     print(f"fused_proj={fused}")
     # tiny-vocab trick is NOT used: keep the real 151936 vocab (lm_head cost
     # matters). Random init at full geometry.
@@ -195,6 +201,7 @@ def main():
         "fused": fused, "page_size": args.page_size,
         "chunk": args.chunk, "mean_len": args.mean_len,
         "prefill_chunk": args.prefill_chunk, "model": args.model,
+        "vision_quant": args.vision_quant,
         "refill_batch": args.refill_batch,
         "phases_best": (phase_log[int(np.argmin(iter_times))]
                         if args.mode in ("continuous", "paged") and phase_log

@@ -356,3 +356,41 @@ def test_w8a8_training_on_mesh():
     loss_1dev = run(None)
     assert np.isfinite(loss_mesh)
     np.testing.assert_allclose(loss_mesh, loss_1dev, rtol=2e-2)
+
+
+def test_vision_tower_quant_parity_and_layout():
+    """Vision-tower quantization (Qwen2VLVisionConfig.quant_int8): the
+    quantize_tree'd bf16 params drop into the QDense layout and int8/w8a8
+    outputs track the fp tower within quant noise on the merged tokens."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from thinkdiff_tpu.models.qwen2_vl import (
+        Qwen2VLConfig, Qwen2VisionTower, vision_cos_sin,
+    )
+    from thinkdiff_tpu.ops.quant import quantize_tree
+
+    cfg = Qwen2VLConfig.tiny()
+    vc = cfg.vision
+    rng = jax.random.PRNGKey(7)
+    grid = 4  # 4x4 patches -> merge 2x2 -> 4 tokens
+    pos_hw = np.array([[h, w] for h in range(grid) for w in range(grid)],
+                      np.int64)
+    cos, sin = vision_cos_sin(pos_hw, vc.head_dim)
+    patches = jnp.asarray(
+        np.random.RandomState(0).randn(grid * grid, vc.patch_dim) * 0.2,
+        jnp.float32)
+
+    fp_tower = Qwen2VisionTower(vc)
+    fp = fp_tower.init(rng, patches, cos, sin, None)["params"]
+    ref = fp_tower.apply({"params": fp}, patches, cos, sin, None)
+
+    for mode, tol in [(True, 0.08), ("w8a8", 0.15)]:
+        qp = quantize_tree(fp, min_size=0, w8a8=mode == "w8a8")
+        tower = Qwen2VisionTower(dataclasses.replace(vc, quant_int8=mode))
+        out = tower.apply({"params": qp}, patches, cos, sin, None)
+        rel = float(jnp.linalg.norm((out - ref).astype(jnp.float32))
+                    / jnp.linalg.norm(ref.astype(jnp.float32)))
+        assert rel < tol, f"vision quant {mode}: rel err {rel}"

@@ -377,12 +377,20 @@ class EmbedEngine:
         # int8-decode regression was dispatch-bound thin dots; fusing cuts
         # per-layer projections 7 -> 4); overridable via vllm_config
         fused = bool(vcfg_early.get("fused_proj", bool(quant)))
+        # vision-tower quant is a separate knob (default off: the dossier
+        # covers decoder/diffusion quant; vision w8a8 is perf-measured but
+        # real-weight quality evidence is decoder-only so far)
+        vqname = str(vcfg_early.get("vision_quantization", "")).lower()
+        vquant = {"int8": True, "int8_dyn": "w8a8", "w8a8": "w8a8"}.get(
+            vqname, False)
         if "7B" in str(path):
             cfg = Qwen2VLConfig.qwen2_vl_7b(dtype=dtype, quant_int8=quant,
-                                            fused_proj=fused)
+                                            fused_proj=fused,
+                                            vision_quant=vquant)
         else:
             cfg = Qwen2VLConfig.qwen2_vl_2b(dtype=dtype, quant_int8=quant,
-                                            fused_proj=fused)
+                                            fused_proj=fused,
+                                            vision_quant=vquant)
         sd = maybe_load_hf_weights(path)
         if sd is None:
             raise FileNotFoundError(
@@ -391,12 +399,15 @@ class EmbedEngine:
             )
         params = convert_qwen2_vl(sd, dtype=np.dtype(jnp.bfloat16)
                                   if dtype == jnp.bfloat16 else None)
-        if quant:
+        if quant or vquant:
             from thinkdiff_tpu.ops.quant import quantize_tree
 
-            # decoder/lm_head only; the vision tower stays bf16
-            params["lm"] = quantize_tree(params["lm"], min_size=0,
-                                         w8a8=quant == "w8a8")
+            if quant:
+                params["lm"] = quantize_tree(params["lm"], min_size=0,
+                                             w8a8=quant == "w8a8")
+            if vquant:
+                params["vision"] = quantize_tree(params["vision"], min_size=0,
+                                                 w8a8=vquant == "w8a8")
         if fused:
             from thinkdiff_tpu.models.qwen2_vl import fuse_qwen2_params
 

@@ -40,6 +40,11 @@ class Qwen2VLVisionConfig:
     embed_dim: int = 1280
     hidden_size: int = 1536          # LM hidden (merger output)
     num_heads: int = 16
+    # vision-tower quantization (False | True/"int8" | "w8a8") — same QDense
+    # modes as the decoder's quant_int8. Vision is the engine's widest
+    # compute (1024 patches/image, whole refill batches at once), so w8a8's
+    # s8xs8 MXU rate applies where it pays most; attention stays bf16.
+    quant_int8: Any = False
     in_channels: int = 3
     patch_size: int = 14
     spatial_merge_size: int = 2
@@ -88,16 +93,22 @@ class Qwen2VLConfig:
         return self.hidden_size // self.num_heads
 
     @classmethod
-    def qwen2_vl_2b(cls, **kw):
-        return cls(**{**dict(dtype=jnp.bfloat16), **kw})
+    def qwen2_vl_2b(cls, vision_quant: Any = False, **kw):
+        base = dict(dtype=jnp.bfloat16)
+        if vision_quant:
+            base["vision"] = Qwen2VLVisionConfig(
+                dtype=jnp.bfloat16, quant_int8=vision_quant)
+        base.update(kw)
+        return cls(**base)
 
     @classmethod
-    def qwen2_vl_7b(cls, **kw):
+    def qwen2_vl_7b(cls, vision_quant: Any = False, **kw):
         base = dict(
             hidden_size=3584, intermediate_size=18944, num_layers=28,
             num_heads=28, num_kv_heads=4, tie_word_embeddings=False,
             dtype=jnp.bfloat16,
-            vision=Qwen2VLVisionConfig(hidden_size=3584, dtype=jnp.bfloat16),
+            vision=Qwen2VLVisionConfig(hidden_size=3584, dtype=jnp.bfloat16,
+                                       quant_int8=vision_quant),
         )
         base.update(kw)
         return cls(**base)
@@ -160,9 +171,13 @@ class VisionBlock(nn.Module):
         hd = cfg.head_dim
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, name=name,
                                        dtype=cfg.dtype, param_dtype=cfg.dtype)
+        from thinkdiff_tpu.models.t5 import QDense
+
+        qd = lambda feat, name: QDense(feat, dtype=cfg.dtype,
+                                       quant=cfg.quant_int8, use_bias=True,
+                                       name=name)
         y = ln("norm1")(x)
-        qkv = nn.Dense(3 * d, name="qkv", dtype=cfg.dtype,
-                       param_dtype=cfg.dtype)(y)
+        qkv = qd(3 * d, "qkv")(y)
         b, seq, _ = x.shape
         qkv = qkv.reshape(b, seq, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, S, hd)
@@ -173,13 +188,11 @@ class VisionBlock(nn.Module):
             None, False, hd ** -0.5,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, seq, d)
-        x = x + nn.Dense(d, name="proj", dtype=cfg.dtype,
-                         param_dtype=cfg.dtype)(out)
+        x = x + qd(d, "proj")(out)
         y = ln("norm2")(x)
-        y = nn.Dense(int(d * cfg.mlp_ratio), name="fc1", dtype=cfg.dtype,
-                     param_dtype=cfg.dtype)(y)
+        y = qd(int(d * cfg.mlp_ratio), "fc1")(y)
         y = y * jax.nn.sigmoid(1.702 * y)  # quick_gelu (Qwen2-VL vision act)
-        y = nn.Dense(d, name="fc2", dtype=cfg.dtype, param_dtype=cfg.dtype)(y)
+        y = qd(d, "fc2")(y)
         return x + y
 
 
@@ -194,11 +207,13 @@ class Qwen2VisionTower(nn.Module):
         Returns merged tokens (B, S // merge^2, hidden) (or 2D if 2D input).
         """
         cfg = self.cfg
+        from thinkdiff_tpu.models.t5 import QDense
+
         squeeze = patches.ndim == 2
         if squeeze:
             patches = patches[None]
-        x = nn.Dense(cfg.embed_dim, use_bias=False, name="patch_embed",
-                     dtype=cfg.dtype, param_dtype=cfg.dtype)(
+        x = QDense(cfg.embed_dim, use_bias=False, name="patch_embed",
+                   dtype=cfg.dtype, quant=cfg.quant_int8)(
             patches.astype(cfg.dtype))
         for i in range(cfg.depth):
             x = VisionBlock(cfg, name=f"block_{i}")(x, cos, sin, attn_bias)
@@ -208,11 +223,11 @@ class Qwen2VisionTower(nn.Module):
         b, seq, _ = x.shape
         m2 = cfg.spatial_merge_size ** 2
         x = x.reshape(b, seq // m2, cfg.embed_dim * m2)
-        x = nn.Dense(cfg.embed_dim * m2, name="mlp_0", dtype=cfg.dtype,
-                     param_dtype=cfg.dtype)(x)
+        x = QDense(cfg.embed_dim * m2, name="mlp_0", dtype=cfg.dtype,
+                   quant=cfg.quant_int8, use_bias=True)(x)
         x = jax.nn.gelu(x, approximate=False)
-        x = nn.Dense(cfg.hidden_size, name="mlp_2", dtype=cfg.dtype,
-                     param_dtype=cfg.dtype)(x)
+        x = QDense(cfg.hidden_size, name="mlp_2", dtype=cfg.dtype,
+                   quant=cfg.quant_int8, use_bias=True)(x)
         return x[0] if squeeze else x
 
 
