@@ -290,3 +290,65 @@ def test_cogvideox_denoise_quant_pixel_drift_gated(cog_legs):
         report[leg] = float(d.mean())
         assert d.mean() <= max(GATE_X * floor, 1e-4), (leg, report)
     print("cogvideox pixel |delta| mean:", report)
+
+
+# --------------------------------------------------------------------------
+# Qwen2-VL vision tower (engine vision_quantization knob)
+# --------------------------------------------------------------------------
+
+
+def test_vision_tower_quant_hidden_tap_drift_gated():
+    """Vision-tower quant quality on REAL torch-layout golden weights,
+    measured at the engine's actual product: the model.norm hidden tap
+    (what the embedding generator exports — reference
+    mllama_vllm_generate_1.py:612-617). The whole VLM forward runs —
+    quantized vision feeding the fp decoder — so vision quant error is
+    judged after it propagates through the decoder, not at the tower
+    output. Gate: same relative discipline as the denoise dossier
+    (quantized drift <= GATE_X times the bf16 floor vs the f32 truth)."""
+    import dataclasses
+
+    from thinkdiff_tpu.models.qwen2_vl import (
+        Qwen2VLConfig, Qwen2VLModel, Qwen2VisionTower, convert_qwen2_vl,
+        get_mrope_position_ids, vision_cos_sin, vision_rot_pos_emb,
+    )
+    from thinkdiff_tpu.ops.quant import quantize_tree
+
+    if not (GOLD / "qwen2_vl_ckpt.npz").exists():
+        pytest.skip("qwen2_vl goldens not generated")
+    sd = _load_sd("qwen2_vl_ckpt")
+    io = np.load(GOLD / "qwen2_vl_io.npz")
+    cfg = Qwen2VLConfig.tiny()
+    params = convert_qwen2_vl(sd)
+    ids, grid_thw = io["input_ids"], io["grid_thw"]
+    pos_hw = vision_rot_pos_emb(grid_thw, cfg.vision.spatial_merge_size)
+    cos, sin = vision_cos_sin(pos_hw, cfg.vision.head_dim)
+    pos, _ = get_mrope_position_ids(
+        ids, grid_thw, cfg.image_token_id, cfg.vision.spatial_merge_size)
+    img_mask = (ids == cfg.image_token_id).astype(np.int32)[None]
+
+    def tap(vision_quant, dtype):
+        vc = dataclasses.replace(cfg.vision, quant_int8=vision_quant,
+                                 dtype=dtype)
+        vp = (quantize_tree(params["vision"], min_size=0,
+                            w8a8=vision_quant == "w8a8")
+              if vision_quant else params["vision"])
+        emb = Qwen2VisionTower(vc).apply(
+            {"params": vp}, jnp.asarray(io["pixel_values"]),
+            jnp.asarray(cos), jnp.asarray(sin))
+        full = np.zeros((1, len(ids), cfg.hidden_size), np.float32)
+        full[0, img_mask[0] > 0] = np.asarray(emb, np.float32)
+        _, hidden, _ = Qwen2VLModel(cfg).apply(
+            {"params": params["lm"]}, input_ids=jnp.asarray(ids)[None],
+            position_ids=jnp.asarray(pos)[:, None, :],
+            image_embeds=jnp.asarray(full), image_mask=jnp.asarray(img_mask))
+        return np.asarray(hidden, np.float32)[0]
+
+    truth = tap(False, jnp.float32)
+    floor_mean, _ = _rel(tap(False, jnp.bfloat16), truth, truth)
+    floor_mean = max(floor_mean, 1e-5)
+    for mode in (True, "w8a8"):
+        drift_mean, _ = _rel(tap(mode, jnp.bfloat16), truth, truth)
+        assert drift_mean <= GATE_X * floor_mean, (
+            f"vision {mode}: hidden-tap drift {drift_mean:.5f} vs bf16 "
+            f"floor {floor_mean:.5f} (gate {GATE_X}x)")
