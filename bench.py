@@ -38,6 +38,7 @@ A100. ``vs_baseline`` = ours_per_chip / 89.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -159,7 +160,10 @@ def main():
         num_layers=1, num_decoder_layers=24, num_heads=64, dropout_rate=0.0,
         fused_proj=True,
     )
-    rows_per_chip, pack_cap = 4, 256  # measured best (PERF.md round-3 ladder)
+    # measured best (PERF.md round-3 ladder; round-4 re-sweep confirmed).
+    # Overridable for sweeps: BENCH_ROWS / BENCH_CAP.
+    rows_per_chip = int(os.environ.get("BENCH_ROWS", 4))
+    pack_cap = int(os.environ.get("BENCH_CAP", 256))
 
     model = MllamaT5EmbedDecoder(ConfigNode({
         "dtype": "bfloat16", "load_pretrained": False,

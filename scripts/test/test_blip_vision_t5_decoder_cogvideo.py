@@ -83,8 +83,11 @@ def main():
     # latents from the sampler: (B, T, H, W, C)
     frames = decode_latents(decoder, vae_params, latents)[0]
     name = os.path.splitext(os.path.basename(image_path))[0]
+    # mp4 matches the reference's export_to_video output (reference
+    # test_blip_vision_t5_decoder_cogvideo.py:186-189); save_video
+    # degrades to MJPEG-AVI if no mp4 encoder tier is available.
     out_path = os.path.join(
-        out_dir, f"{name}_seed{seed}.{run.get('video_format', 'avi')}")
+        out_dir, f"{name}_seed{seed}.{run.get('video_format', 'mp4')}")
     out_path = save_video(frames, out_path, fps=int(run.get("fps", 8)))
     print("saved video:", out_path)
 

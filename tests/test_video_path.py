@@ -149,15 +149,44 @@ class TestVideoIO:
         d = save_video(frames, str(tmp_path / "framesdir") + "/", fps=8)
         r = VideoReader(d.rstrip("/"))
         assert len(r) == 3
-        # mp4 without ffmpeg degrades to .avi next to the requested path
+        # mp4: cv2 (in-process avcodec) or ffmpeg produce a real .mp4;
+        # with neither it degrades to .avi next to the requested path
         import shutil as _sh
 
+        from thinkdiff_tpu.data.video_io import _cv2
+
         out = save_video(frames, str(tmp_path / "clip.mp4"), fps=8)
-        if _sh.which("ffmpeg"):
+        if _cv2() is not None or _sh.which("ffmpeg"):
             assert out.endswith(".mp4")
         else:
             assert out.endswith(".avi")
             assert len(VideoReader(out)) == 3
+
+    def test_mp4_roundtrip_cv2(self, tmp_path):
+        """mp4 write + read through the in-process avcodec tier — the
+        decord-parity container path (reference data_utils.py:18-29 reads
+        mp4 clips via decord; here cv2's FFMPEG backend decodes them)."""
+        from thinkdiff_tpu.data.video_io import _cv2
+
+        if _cv2() is None:
+            pytest.skip("cv2 FFMPEG backend not available")
+        frames = self._frames(n=6)
+        path = save_video(frames, str(tmp_path / "clip.mp4"), fps=12)
+        assert path.endswith(".mp4")
+        with open(path, "rb") as f:
+            head = f.read(12)
+        assert head[4:8] == b"ftyp"  # genuine ISO-BMFF/mp4 container
+        r = VideoReader(path)
+        assert len(r) == 6
+        assert abs(r.get_avg_fps() - 12.0) < 0.5
+        got = r.get_batch([1, 5])
+        assert got.shape == (2, 32, 48, 3)
+        # lossy codec on smooth gradients: close to source
+        assert np.mean(np.abs(got[1].astype(int)
+                              - np.asarray(frames[5], int))) < 8
+        # random access beyond the sequential cache, then behind it
+        assert r[-1].shape == (32, 48, 3)
+        assert r[0].shape == (32, 48, 3)
 
 
 @pytest.mark.slow
@@ -252,9 +281,12 @@ def test_cogvideo_script_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["cogvideo", "--cfg-path", str(cfg_path)])
     script.main()
 
-    avis = list((tmp_path / "out").glob("*.avi"))
-    assert avis, list((tmp_path / "out").iterdir())
-    r = VideoReader(str(avis[0]))
+    # mp4 via the in-process avcodec tier when available (the reference's
+    # export_to_video container), MJPEG-AVI otherwise
+    vids = (list((tmp_path / "out").glob("*.mp4"))
+            or list((tmp_path / "out").glob("*.avi")))
+    assert vids, list((tmp_path / "out").iterdir())
+    r = VideoReader(str(vids[0]))
     assert len(r) >= 2
     assert r[0].ndim == 3 and r[0].shape[-1] == 3
 

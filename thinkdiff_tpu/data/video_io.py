@@ -1,18 +1,24 @@
-"""Video IO without native media dependencies.
+"""Video IO without standalone media dependencies.
 
 The reference writes MP4 via diffusers' export_to_video (imageio+ffmpeg) and
 reads videos with decord (reference
 scripts/test/test_blip_vision_t5_decoder_cogvideo.py:186-189,
-thinkdiff/datasets/data_utils.py:18-29). Neither ships in this environment,
-so the native format here is **MJPEG-in-AVI**, written and parsed in pure
-Python (RIFF container, one JPEG per frame, playable everywhere), with:
+thinkdiff/datasets/data_utils.py:18-29). Neither ships in this environment.
+Three tiers, best available wins:
 
-  - ``save_video(frames, path)``: .avi (pure python) | .mp4 (ffmpeg when
-    present) | directory of PNGs (fallback for any path without a video
+  1. **MJPEG-in-AVI**, written and parsed in pure Python (RIFF container,
+     one JPEG per frame, playable everywhere) — zero dependencies.
+  2. **cv2's libavcodec backend** (in-process, no subprocess): reads any
+     container/codec avcodec decodes — mp4/h264/hevc/mpeg4/vp9 — and
+     writes mp4 (MPEG-4 Part 2; the image carries no h264 *encoder*).
+     This is the decord-parity read path for real-world mp4 clips.
+  3. **ffmpeg binary** shell-out when present.
+
+  - ``save_video(frames, path)``: .avi (pure python) | .mp4 (cv2, else
+    ffmpeg) | directory of PNGs (fallback for any path without a video
     extension)
   - ``VideoReader``: decord-compatible surface (len, __getitem__,
-    get_batch) for .avi written here; other containers go through ffmpeg
-    when available.
+    get_batch, get_avg_fps) across all three tiers.
 """
 
 from __future__ import annotations
@@ -25,6 +31,20 @@ import subprocess
 from typing import List, Sequence
 
 import numpy as np
+
+
+def _cv2():
+    """cv2 with a usable FFMPEG (libavcodec) videoio backend, else None."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    try:
+        backends = cv2.videoio_registry.getBackends()
+        names = {cv2.videoio_registry.getBackendName(b) for b in backends}
+    except AttributeError:  # very old cv2: assume the default build
+        return cv2
+    return cv2 if "FFMPEG" in names else None
 
 
 # ------------------------------- writing ------------------------------------
@@ -97,6 +117,20 @@ def save_video(frames, path: str, fps: int = 8) -> str:
     if ext == ".avi":
         return write_mjpeg_avi(frames, path, fps=fps)
     if ext in (".mp4", ".mkv", ".webm"):
+        cv2 = _cv2()
+        if cv2 is not None and ext == ".mp4":
+            # in-process avformat mux + MPEG-4 Part 2 encode (no h264
+            # encoder in this avcodec build; any avcodec decoder — incl.
+            # h264 — reads the result class of container fine)
+            h, w = frames[0].shape[:2]
+            vw = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            if vw.isOpened():
+                for f in frames:
+                    vw.write(f[..., ::-1])  # RGB -> BGR
+                vw.release()
+                return path
+            vw.release()
         if shutil.which("ffmpeg"):
             tmp = path + ".tmp.avi"
             write_mjpeg_avi(frames, tmp, fps=fps)
@@ -104,7 +138,7 @@ def save_video(frames, path: str, fps: int = 8) -> str:
                             path], check=True, capture_output=True)
             os.remove(tmp)
             return path
-        # no ffmpeg: fall back to AVI next to the requested name
+        # no encoder available: fall back to AVI next to the requested name
         alt = os.path.splitext(path)[0] + ".avi"
         write_mjpeg_avi(frames, alt, fps=fps)
         return alt
@@ -141,25 +175,53 @@ class VideoReader:
 
     def __init__(self, path: str):
         self.path = path
+        self._jpegs = None
+        self._files = None
+        self._cap = None
+        self._fps = 8.0
         if path.lower().endswith(".avi"):
             with open(path, "rb") as f:
-                self._jpegs = _parse_riff_frames(f.read())
+                data = f.read()
+            self._jpegs = _parse_riff_frames(data)
             if not self._jpegs:
                 raise ValueError(f"no frames found in {path}")
+            i = data.find(b"avih")
+            if i >= 0:  # dwMicroSecPerFrame, first avih field
+                usec = struct.unpack("<I", data[i + 8:i + 12])[0]
+                if usec:
+                    self._fps = 1e6 / usec
         elif os.path.isdir(path):
-            from PIL import Image  # PNG-sequence directory
-
             self._files = sorted(
                 os.path.join(path, n) for n in os.listdir(path)
                 if n.endswith(".png"))
-            self._jpegs = None
             if not self._files:
+                raise ValueError(f"no frames found in {path}")
+        elif _cv2() is not None:
+            # in-process libavcodec decode (mp4/h264/hevc/mpeg4/vp9 — the
+            # decord-parity path, reference data_utils.py:18-29). Frames
+            # decode sequentially on demand and are cached, so get_batch
+            # over sampled indices decodes only up to the highest index.
+            cv2 = _cv2()
+            self._cap = cv2.VideoCapture(path)
+            if not self._cap.isOpened():
+                raise ValueError(f"avcodec cannot open {path}")
+            self._fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 8.0
+            self._n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self._cache: List[np.ndarray] = []
+            if self._n <= 0:  # container with no frame index: decode all
+                while True:
+                    ok, frame = self._cap.read()
+                    if not ok:
+                        break
+                    self._cache.append(frame[..., ::-1].copy())
+                self._n = len(self._cache)
+            if self._n <= 0:
                 raise ValueError(f"no frames found in {path}")
         else:
             if not shutil.which("ffmpeg"):
                 raise RuntimeError(
-                    f"reading '{path}' needs ffmpeg (only MJPEG .avi and "
-                    "PNG directories are supported natively)")
+                    f"reading '{path}' needs cv2 or ffmpeg (only MJPEG .avi "
+                    "and PNG directories are supported natively)")
             tmp = path + ".frames"
             os.makedirs(tmp, exist_ok=True)
             subprocess.run(
@@ -168,12 +230,23 @@ class VideoReader:
                 check=True, capture_output=True)
             self._files = sorted(
                 os.path.join(tmp, n) for n in os.listdir(tmp))
-            self._jpegs = None
 
     def __len__(self):
-        return len(self._jpegs if self._jpegs is not None else self._files)
+        if self._jpegs is not None:
+            return len(self._jpegs)
+        if self._files is not None:
+            return len(self._files)
+        return self._n
 
     def _decode(self, i: int) -> np.ndarray:
+        if self._cap is not None:
+            while len(self._cache) <= i:
+                ok, frame = self._cap.read()
+                if not ok:
+                    raise IndexError(
+                        f"frame {i} of {self._n} failed to decode")
+                self._cache.append(frame[..., ::-1].copy())  # BGR -> RGB
+            return self._cache[i]
         from PIL import Image
 
         if self._jpegs is not None:
@@ -191,4 +264,4 @@ class VideoReader:
         return np.stack([self[int(i)] for i in indices])
 
     def get_avg_fps(self) -> float:
-        return 8.0
+        return self._fps
