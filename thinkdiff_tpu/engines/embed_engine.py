@@ -364,12 +364,11 @@ class EmbedEngine:
                              "Qwen/Qwen2-VL-2B-Instruct")
         dtype = str_to_dtype(model_cfg.get("dtype", "bfloat16"))
         vcfg_early = model_cfg.get("vllm_config", {}) or {}
-        # quantization: int8 (weight-only, Pallas decode gemv) | int8_dyn
-        # (w8a8 s8xs8 dots). CAPACITY options (e.g. 7B on one 16 GB chip):
-        # both measured SLOWER than bf16 for thin decode matvecs (w8a8
-        # 3.3x, gemv launch-bound — PERF.md "engine decode quantization");
-        # wide ops (vision, prefill) gain ~1.37x. bf16 is the serving
-        # default until fused qkv/gate-up int8 kernels land.
+        # quantization: int8 (weight-only) | int8_dyn (w8a8 s8xs8 dots).
+        # With fused projection groups (round 3) int8 decode is 1.57x
+        # FASTER than bf16 and w8a8 is the measured serving optimum
+        # (PERF.md round-4 ladder); the precompute config ships int8_dyn.
+        # Also the 7B-on-one-16GB-chip capacity option.
         qname = str(vcfg_early.get("quantization", "")).lower()
         quant = {"int8": True, "int8_dyn": "w8a8", "w8a8": "w8a8"}.get(
             qname, False)
@@ -377,9 +376,10 @@ class EmbedEngine:
         # int8-decode regression was dispatch-bound thin dots; fusing cuts
         # per-layer projections 7 -> 4); overridable via vllm_config
         fused = bool(vcfg_early.get("fused_proj", bool(quant)))
-        # vision-tower quant is a separate knob (default off: the dossier
-        # covers decoder/diffusion quant; vision w8a8 is perf-measured but
-        # real-weight quality evidence is decoder-only so far)
+        # vision-tower quant is a separate knob; int8 measured 42 -> 76
+        # TF/s on the tower (scripts/bench_prefill_micro) = +9% engine
+        # imgs/s, quality-gated at the hidden tap on golden weights
+        # (tests/test_quant_quality.py). The precompute config ships int8.
         vqname = str(vcfg_early.get("vision_quantization", "")).lower()
         vquant = {"int8": True, "int8_dyn": "w8a8", "w8a8": "w8a8"}.get(
             vqname, False)
