@@ -198,6 +198,74 @@ def main():
                  iters=args.iters)
     print(f"  rows={args.rows}: {dt*1e3:.1f} ms/call")
 
+    # --- paged chunk decode: isolate forward / +logits / +sampling ------
+    # Mirrors the serving state at the operating point: 64 slots, paged
+    # pool sized like generate_many (own-prompt page counts), mean
+    # context ~ prompt + half the generation.
+    print("== paged chunk decode (32-step scan, serving state shapes) ==")
+    engine.ignore_eos = False
+    engine.eos_ids = [2]
+    chunk_steps = 32
+    m = args.rows
+    page = engine.kv_page_size
+    mp = -(-(args.prompt_len + 256 + chunk_steps) // page)
+    pool_pages = 1 + m * mp
+    pools = [
+        (jnp.zeros((pool_pages, cfg.num_kv_heads, page, cfg.head_dim),
+                   cfg.dtype),
+         jnp.zeros((pool_pages, cfg.num_kv_heads, page, cfg.head_dim),
+                   cfg.dtype))
+        for _ in range(cfg.num_layers)]
+    table = jnp.asarray(
+        np.arange(1, 1 + m * mp, dtype=np.int32).reshape(m, mp))
+    tok0 = jnp.asarray(rs.randint(10, 1000, (m,), np.int32))
+    clen = jnp.full((m,), args.prompt_len + 40, jnp.int32)
+    pos0 = clen
+    gcnt = jnp.full((m,), 40, jnp.int32)
+
+    full_fn = engine._get_paged_chunk_fn(chunk_steps, engine.min_tokens,
+                                         engine.temperature, engine.top_p)
+
+    def run_full(pl):
+        pl2 = [(jnp.zeros_like(k), jnp.zeros_like(v)) for k, v in pl]
+        return full_fn(engine.params["lm"], pl2, table, tok0, clen, pos0,
+                       gcnt, rng)
+
+    dt_full = time_fn(run_full, pools, iters=max(3, args.iters // 3))
+
+    def make_scan(with_logits, greedy):
+        @jax.jit
+        def f(params, pools_in, tbl, toks, cl, p0):
+            def step(carry, i):
+                pl, tk, c, p = carry
+                pos3 = jnp.broadcast_to(p[None, :, None], (3, p.shape[0], 1))
+                _, hidden, pl = engine.lm.apply(
+                    {"params": params}, input_ids=tk[:, None],
+                    position_ids=pos3, caches=pl, cache_len=c,
+                    compute_logits=False, page_table=tbl)
+                if with_logits:
+                    lg = engine.lm.apply({"params": params}, hidden[:, 0],
+                                         method=engine.lm.logits)
+                    nxt = (jnp.argmax(lg, -1).astype(jnp.int32) if greedy
+                           else tk)
+                else:
+                    nxt = tk
+                return (pl, nxt, c + 1, p + 1), hidden[:, 0, 0]
+            (pl, tk, c, p), out = jax.lax.scan(
+                step, (pools_in, toks, cl, p0), jnp.arange(chunk_steps))
+            return out
+        return f
+
+    for name, f in (("fwd only", make_scan(False, False)),
+                    ("fwd+logits+argmax", make_scan(True, True))):
+        def run(pl, _f=f):
+            pl2 = [(jnp.zeros_like(k), jnp.zeros_like(v)) for k, v in pl]
+            return _f(engine.params["lm"], pl2, table, tok0, clen, pos0)
+        dt = time_fn(run, pools, iters=max(3, args.iters // 3))
+        print(f"  {name:18s}: {dt/chunk_steps*1e3:7.2f} ms/step")
+    print(f"  {'full (nucleus)':18s}: {dt_full/chunk_steps*1e3:7.2f} ms/step"
+          f"  (engine fn, k={engine.top_k_prefilter} prefilter)")
+
 
 if __name__ == "__main__":
     main()
