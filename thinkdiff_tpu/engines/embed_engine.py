@@ -1282,6 +1282,16 @@ class EmbedEngine:
         group = (int(refill_batch) if refill_batch
                  else (slots if slots <= 64 else 32))
 
+        # first-token d2h is LAZY like the hidden states: _admit starts the
+        # (m,)-int32 copy and returns without waiting for the prefill to
+        # finish, so the host immediately dispatches the next decode chunk
+        # (the device runs prefill -> chunk back-to-back with no host-RTT
+        # bubble per refill group). The values are resolved at the next
+        # accounting pass — after that chunk's token sync, when the
+        # transfer is guaranteed complete. EOS on a first token is thus
+        # detected one chunk late (the cut in _finish keeps outputs exact).
+        pending_first: List[Tuple[Any, List[int]]] = []
+
         def _admit(reqs, slot_ids):
             """Prefill `reqs` into `slot_ids` in sub-batches of <= `group`
             rows. Both the initial fill and every refill go through here, so
@@ -1328,9 +1338,11 @@ class EmbedEngine:
                                                              jnp.int32))
                 pos = pos.at[sl].set(jnp.asarray(r_start))
                 gen_count = gen_count.at[sl].set(1)
-                r_first_np = np.asarray(r_first)
+                if hasattr(r_first, "copy_to_host_async"):
+                    r_first.copy_to_host_async()
+                pending_first.append((r_first, list(g_slots)))
                 for j, si in enumerate(g_slots):
-                    slot_tokens[si] = [int(r_first_np[j])]
+                    slot_tokens[si] = []
                     # lazy hidden PIECES (resolved at result assembly so
                     # the d2h overlaps decode): ("seed"/"gen", lazy, row,
                     # take) and ("prompt", lazy, row, prompt_len)
@@ -1399,6 +1411,12 @@ class EmbedEngine:
             n_chunks += 1
 
             _ta0 = _time.perf_counter()
+            if pending_first:  # resolve last chunk's admitted first tokens
+                for r_first, g_slots in pending_first:
+                    arr = np.asarray(r_first)
+                    for j, si in enumerate(g_slots):
+                        slot_tokens[si].insert(0, int(arr[j]))
+                pending_first.clear()
             finished_slots = []
             for si in range(slots):
                 if not slot_active[si]:
