@@ -78,6 +78,11 @@ def main():
     parser.add_argument("--refill-batch", type=int, default=0,
                         help="cap refill prefill groups to this many rows "
                              "(0 = engine default)")
+    parser.add_argument("--preadmit", type=int, default=0,
+                        help="prefill-ahead wave size (paged only): "
+                             "pre-prefill this many queued requests at "
+                             "full-row geometry so refills are page-table "
+                             "updates, not rows<=16 prefills")
     parser.add_argument("--vision-quant", choices=["none", "int8", "w8a8"],
                         default="none",
                         help="vision-tower quantization (decoder quant is "
@@ -128,6 +133,7 @@ def main():
         min_pixels=56 * 56, max_pixels=1280 * 28 * 28,
         max_num_seqs=max(slots, 16), kv_page_size=args.page_size,
         prefill_chunk=args.prefill_chunk or None,
+        preadmit_wave=args.preadmit,
     )
     rs = np.random.RandomState(0)
     imgs = [Image.fromarray(
@@ -202,6 +208,7 @@ def main():
         "chunk": args.chunk, "mean_len": args.mean_len,
         "prefill_chunk": args.prefill_chunk, "model": args.model,
         "vision_quant": args.vision_quant,
+        "preadmit": args.preadmit,
         "refill_batch": args.refill_batch,
         "phases_best": (phase_log[int(np.argmin(iter_times))]
                         if args.mode in ("continuous", "paged") and phase_log

@@ -17,3 +17,12 @@ for leg in \
   timeout 3000 python -m scripts.bench_embed_engine $COMMON $leg 2>&1 | tail -12
 done
 echo "=== sweep done ==="
+
+# prefill-ahead legs (round-4 cont.): refills become page-table updates
+for leg in \
+    "--slots 64 --prefill-chunk 128 --preadmit 64" \
+    "--slots 128 --prefill-chunk 128 --preadmit 64" \
+    ; do
+  echo "=== leg: $leg ==="
+  timeout 3000 python -m scripts.bench_embed_engine $COMMON $leg 2>&1 | tail -12
+done

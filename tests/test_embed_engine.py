@@ -627,3 +627,52 @@ def test_llava_leading_space_strip():
     m = MllamaVllmGenerateModel(cfg, engine=_FakeEngine())
     out = m.forward({"captions": ["a", "b"], "images": [None, None]})
     assert out["generated_texts"] == ["leading space kept once"] * 2
+
+
+def test_generate_many_preadmit_parity():
+    """Prefill-ahead (preadmit_wave > 0) must be a pure perf knob on the
+    paged scheduler: greedy tokens and hidden states identical to
+    admit-on-free. Exercises the store FIFO (waves straddle refills), the
+    prompt-pages-then-gen-pages split allocation, and the lazy first-token
+    memo at assignment."""
+    engine = make_engine(max_tokens=12, min_tokens=2, temperature=0.0)
+    engine.kv_page_size = 8
+    prompts = [f"describe thing number {i} " + "pad " * (5 * i)
+               for i in range(11)]
+    ref = engine.generate_many(
+        {"prompts": prompts}, seed=3, slots=3, chunk=4, paged=True)
+    for wave_size in (2, 4, 16):
+        engine.preadmit_wave = wave_size
+        out = engine.generate_many(
+            {"prompts": prompts}, seed=3, slots=3, chunk=4, paged=True)
+        engine.preadmit_wave = 0
+        assert ref.output_token_ids == out.output_token_ids, wave_size
+        for i in range(11):
+            np.testing.assert_allclose(
+                ref.hidden_states[i], out.hidden_states[i],
+                rtol=2e-2, atol=2e-2)
+            np.testing.assert_allclose(
+                ref.prompt_hidden_states[i], out.prompt_hidden_states[i],
+                rtol=2e-2, atol=2e-2)
+
+
+def test_generate_many_preadmit_with_chunked_prefill():
+    """Prefill-ahead composes with C-chunked prefill (the shipping config
+    pairs them); page-pool budget holds with both on."""
+    engine = make_engine(max_tokens=12, min_tokens=2, temperature=0.0)
+    engine.kv_page_size = 8
+    prompts = [f"describe thing number {i} " + "pad " * (7 * i)
+               for i in range(9)]
+    engine.prefill_chunk = 64
+    ref = engine.generate_many(
+        {"prompts": prompts}, seed=3, slots=3, chunk=4, paged=True)
+    engine.preadmit_wave = 4
+    out = engine.generate_many(
+        {"prompts": prompts}, seed=3, slots=3, chunk=4, paged=True)
+    engine.preadmit_wave = 0
+    engine.prefill_chunk = None
+    assert ref.output_token_ids == out.output_token_ids
+    for i in range(9):
+        np.testing.assert_allclose(
+            ref.hidden_states[i], out.hidden_states[i],
+            rtol=2e-2, atol=2e-2)

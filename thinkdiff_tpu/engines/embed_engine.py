@@ -293,7 +293,8 @@ class EmbedEngine:
                  vision_batch: int = 32,
                  prefill_chunk: Optional[int] = None,
                  prompt_format: str = "qwen2_vl",
-                 top_k_prefilter: int = 64):
+                 top_k_prefilter: int = 64,
+                 preadmit_wave: int = 0):
         from thinkdiff_tpu.core.distributed import enable_compilation_cache
 
         # serving cold-start: persist compiled executables across engine
@@ -343,6 +344,12 @@ class EmbedEngine:
                 raise ValueError(
                     "prefill_chunk must be a power of two >= 64")
         self.prefill_chunk = prefill_chunk
+        # prefill-ahead (paged only): pre-prefill up to `preadmit_wave`
+        # queued requests into spare KV pages at full-row geometry while
+        # decode runs, so a refill is a page-table update instead of a
+        # rows<=16 device prefill (87 vs 164 TF/s at the serving point —
+        # scripts/bench_prefill_micro). 0 = off (admit-on-free).
+        self.preadmit_wave = int(preadmit_wave or 0)
         self.prompt_format = prompt_format
         self.vision = Qwen2VisionTower(cfg.vision)
         self.lm = Qwen2VLModel(cfg)
@@ -438,6 +445,7 @@ class EmbedEngine:
                                       vcfg.get("block_size", 64))),
             vision_batch=int(vcfg.get("vision_batch", 32)),
             top_k_prefilter=int(vcfg.get("top_k_prefilter", 64)),
+            preadmit_wave=int(vcfg.get("preadmit_wave", 0)),
             # vLLM flag name honored; explicit prefill_chunk sets the chunk
             # (0/None/absent = bucketed one-shot prefill)
             prefill_chunk=(int(vcfg.get("prefill_chunk") or 0)
@@ -1232,6 +1240,7 @@ class EmbedEngine:
         cache_size = prompt_bucket + max_tokens + chunk
 
         page = self.kv_page_size
+        wave = 0  # prefill-ahead is a paged-pool feature (set below)
         if paged:
             assert page <= 64 and 64 % page == 0, (
                 "kv_page_size must divide the 64-token minimum prompt bucket")
@@ -1245,6 +1254,15 @@ class EmbedEngine:
             # the worst-case concurrent set: pool = sum of the S largest
             # (+1 for the trash page) and refills can never run dry
             pool_pages = 1 + sum(sorted(need, reverse=True)[:slots])
+            # prefill-ahead holds PROMPT pages only (generation pages are
+            # allocated at slot assignment); budget two waves of the
+            # largest prompt-page counts so a wave can be in flight while
+            # the store drains
+            wave = self.preadmit_wave if n > slots else 0
+            if wave:
+                pneed = sorted((-(-len(p["ids"]) // page) for p in prepared),
+                               reverse=True)
+                pool_pages += sum(pneed[:min(2 * wave, n - slots)])
             free = list(range(pool_pages - 1, 0, -1))
             table_np = np.zeros((slots, mp), np.int32)
             slot_pages: List[List[int]] = [[] for _ in range(slots)]
@@ -1352,9 +1370,90 @@ class EmbedEngine:
                                               int(r_lens[j]))
                     slot_gen[si] = 1
 
+        # ---- prefill-ahead store (paged only; see self.preadmit_wave) ----
+        # Each entry is a request whose prompt is already prefilled into
+        # pool pages (prompt pages only) with its first token sampled and
+        # its hidden pieces lazily in flight. Assigning it to a freed slot
+        # costs a page-table update + a few .at[] sets — no device prefill
+        # at rows<=16 geometry on the refill path.
+        ahead: List[Dict[str, Any]] = []
+        first_host: Dict[int, np.ndarray] = {}  # wave first-token memo
+
+        def _preadmit():
+            nonlocal pools, rng
+            take = min(wave, len(queue))
+            if take <= 0:
+                return
+            reqs = [queue.pop(0) for _ in range(take)]
+            for g0 in range(0, take, group):
+                g_reqs = reqs[g0:g0 + group]
+                batch = [prepared[r] for r in g_reqs]
+                rng, sub = jax.random.split(rng)
+                r_pad = min(1 << max(6, (max(len(p["ids"]) for p in batch)
+                                         - 1).bit_length()),
+                            self.max_prompt_len)
+                (r_first, r_hidden, r_caches, r_lens, r_last,
+                 r_start) = self._prefill(batch, max_tokens, sub,
+                                          cache_size=r_pad)
+                rows, pages_of = [], []
+                for j, r in enumerate(g_reqs):
+                    npg = -(-r_lens[j] // page)
+                    pgs = [free.pop() for _ in range(npg)]
+                    pages_of.append(pgs)
+                    rows.extend(pgs + [0] * (r_pad // page - npg))
+                pools = self._get_commit_fn()(pools, r_caches,
+                                              jnp.asarray(rows, jnp.int32))
+                if hasattr(r_first, "copy_to_host_async"):
+                    r_first.copy_to_host_async()
+                for j, r in enumerate(g_reqs):
+                    ahead.append({
+                        "req": r, "first": r_first, "row": j,
+                        "pages": pages_of[j], "plen": int(r_lens[j]),
+                        "start": int(r_start[j]),
+                        "seed": ("seed", r_hidden, j, int(r_last[j])),
+                        "prompt": ("prompt", r_hidden, j, int(r_lens[j])),
+                    })
+
+        def _assign(slot_ids):
+            """Point freed slots at prefill-ahead entries (FIFO). By the
+            time a slot frees, the entry's prefill ran chunks ago, so the
+            async first-token transfer has landed — resolving it here is a
+            memo lookup, not a device sync."""
+            nonlocal tokens_dev, cache_len, pos, gen_count, table_dev
+            entries = [ahead.pop(0) for _ in slot_ids]
+            firsts = []
+            for a, si in zip(entries, slot_ids):
+                free.extend(slot_pages[si])
+                k = need[a["req"]]
+                slot_pages[si] = a["pages"] + [
+                    free.pop() for _ in range(k - len(a["pages"]))]
+                table_np[si, :] = 0
+                table_np[si, :k] = slot_pages[si]
+                key = id(a["first"])
+                if key not in first_host:
+                    first_host[key] = np.asarray(a["first"])
+                tok = int(first_host[key][a["row"]])
+                firsts.append(tok)
+                slot_req[si] = a["req"]
+                slot_tokens[si] = [tok]
+                slot_hidden[si] = [a["seed"]]
+                slot_prompt_hidden[si] = a["prompt"]
+                slot_gen[si] = 1
+            table_dev = jnp.asarray(table_np)
+            sl = jnp.asarray(slot_ids, jnp.int32)
+            tokens_dev = tokens_dev.at[sl].set(
+                jnp.asarray(firsts, jnp.int32))
+            cache_len = cache_len.at[sl].set(jnp.asarray(
+                [a["plen"] for a in entries], jnp.int32))
+            pos = pos.at[sl].set(jnp.asarray(
+                [a["start"] for a in entries], jnp.int32))
+            gen_count = gen_count.at[sl].set(1)
+
         # ---- initial fill ----
         _tp0 = _time.perf_counter()
         _admit([queue.pop(0) for _ in range(slots)], list(range(slots)))
+        if wave:
+            _preadmit()  # wave 1 dispatches behind the initial fill
         t_first = _time.perf_counter() - _tp0
 
         def _finish(si):
@@ -1441,17 +1540,25 @@ class EmbedEngine:
             t_account += _time.perf_counter() - _ta0
 
             if finished_slots:
-                refill_reqs, refill_slots = [], []
+                _t0 = _time.perf_counter()
+                assign_slots, refill_reqs, refill_slots = [], [], []
+                avail = len(ahead)
                 for si in finished_slots:
-                    if queue:
+                    if avail > 0:
+                        assign_slots.append(si)
+                        avail -= 1
+                    elif queue:
                         refill_reqs.append(queue.pop(0))
                         refill_slots.append(si)
                     else:
                         slot_active[si] = False
+                if assign_slots:
+                    _assign(assign_slots)
                 if refill_reqs:
-                    _t0 = _time.perf_counter()
                     _admit(refill_reqs, refill_slots)
-                    t_refill += _time.perf_counter() - _t0
+                if wave and len(ahead) <= wave // 2 and queue:
+                    _preadmit()  # next wave while this one drains
+                t_refill += _time.perf_counter() - _t0
 
         # wall-time breakdown (always recorded; bench scripts emit it):
         #   prepare_resize  host PIL resize + smart_resize math
