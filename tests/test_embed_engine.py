@@ -656,6 +656,28 @@ def test_generate_many_preadmit_parity():
                 rtol=2e-2, atol=2e-2)
 
 
+def test_generate_many_preadmit_many_waves():
+    """Regression: wave first-tokens are resolved through a per-group
+    shared cell, never an id()-keyed memo. With wave=1 over many requests,
+    dozens of short-lived prefill-group arrays are created and GC'd — under
+    the old id(first) memo a recycled CPython id could alias a stale
+    wave's tokens. Greedy parity must hold across every wave."""
+    engine = make_engine(max_tokens=8, min_tokens=2, temperature=0.0)
+    engine.kv_page_size = 8
+    prompts = [f"item {i} " + "pad " * (i % 7) for i in range(26)]
+    ref = engine.generate_many(
+        {"prompts": prompts}, seed=5, slots=2, chunk=4, paged=True)
+    engine.preadmit_wave = 1
+    out = engine.generate_many(
+        {"prompts": prompts}, seed=5, slots=2, chunk=4, paged=True)
+    engine.preadmit_wave = 0
+    assert ref.output_token_ids == out.output_token_ids
+    for i in range(26):
+        np.testing.assert_allclose(
+            ref.hidden_states[i], out.hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+
+
 def test_generate_many_preadmit_with_chunked_prefill():
     """Prefill-ahead composes with C-chunked prefill (the shipping config
     pairs them); page-pool budget holds with both on."""

@@ -1260,9 +1260,16 @@ class EmbedEngine:
             # the store drains
             wave = self.preadmit_wave if n > slots else 0
             if wave:
-                pneed = sorted((-(-len(p["ids"]) // page) for p in prepared),
-                               reverse=True)
-                pool_pages += sum(pneed[:min(2 * wave, n - slots)])
+                # budget over the queue AFTER the initial fill (the S
+                # longest prompts are already counted in pool_pages above)
+                # capped at the max concurrent ahead entries: _preadmit
+                # refires at len(ahead) <= wave//2, so at most ~1.5*wave
+                # entries ever hold prompt pages at once
+                rest = order[slots:]
+                pneed = sorted((-(-len(prepared[r]["ids"]) // page)
+                                for r in rest), reverse=True)
+                pool_pages += sum(pneed[:min((3 * wave + 1) // 2,
+                                             len(rest))])
             free = list(range(pool_pages - 1, 0, -1))
             table_np = np.zeros((slots, mp), np.int32)
             slot_pages: List[List[int]] = [[] for _ in range(slots)]
@@ -1377,7 +1384,6 @@ class EmbedEngine:
         # costs a page-table update + a few .at[] sets — no device prefill
         # at rows<=16 geometry on the refill path.
         ahead: List[Dict[str, Any]] = []
-        first_host: Dict[int, np.ndarray] = {}  # wave first-token memo
 
         def _preadmit():
             nonlocal pools, rng
@@ -1405,9 +1411,17 @@ class EmbedEngine:
                                               jnp.asarray(rows, jnp.int32))
                 if hasattr(r_first, "copy_to_host_async"):
                     r_first.copy_to_host_async()
+                # one shared cell per prefill group: the device array is
+                # resolved to np exactly once at first assignment, then the
+                # device handle is dropped. Keyed by identity of the CELL
+                # (held alive by every entry of the group), never by id()
+                # of a GC-able jax array — id reuse across waves would
+                # alias a stale group's tokens.
+                cell = {"dev": r_first, "arr": None}
                 for j, r in enumerate(g_reqs):
                     ahead.append({
-                        "req": r, "first": r_first, "row": j,
+                        "req": r, "cell": cell, "row": j,
+                        "stamp": n_chunks,
                         "pages": pages_of[j], "plen": int(r_lens[j]),
                         "start": int(r_start[j]),
                         "seed": ("seed", r_hidden, j, int(r_last[j])),
@@ -1429,10 +1443,11 @@ class EmbedEngine:
                     free.pop() for _ in range(k - len(a["pages"]))]
                 table_np[si, :] = 0
                 table_np[si, :k] = slot_pages[si]
-                key = id(a["first"])
-                if key not in first_host:
-                    first_host[key] = np.asarray(a["first"])
-                tok = int(first_host[key][a["row"]])
+                cell = a["cell"]
+                if cell["arr"] is None:
+                    cell["arr"] = np.asarray(cell["dev"])
+                    cell["dev"] = None  # drop the device handle
+                tok = int(cell["arr"][a["row"]])
                 firsts.append(tok)
                 slot_req[si] = a["req"]
                 slot_tokens[si] = [tok]
@@ -1450,6 +1465,7 @@ class EmbedEngine:
             gen_count = gen_count.at[sl].set(1)
 
         # ---- initial fill ----
+        n_chunks = 0  # defined pre-fill: _preadmit stamps entries with it
         _tp0 = _time.perf_counter()
         _admit([queue.pop(0) for _ in range(slots)], list(range(slots)))
         if wave:
@@ -1477,7 +1493,6 @@ class EmbedEngine:
                             (list(slot_hidden[si]), cut), p["prompt"])
 
         t_decode = t_sync = t_refill = t_account = 0.0
-        n_chunks = 0
         _t_loop0 = _time.perf_counter()
         while slot_active.any():
             rng, sub = jax.random.split(rng)
@@ -1542,7 +1557,12 @@ class EmbedEngine:
             if finished_slots:
                 _t0 = _time.perf_counter()
                 assign_slots, refill_reqs, refill_slots = [], [], []
-                avail = len(ahead)
+                # prefer entries preadmitted at least one chunk ago: their
+                # async first-token d2h has certainly landed, so _assign is
+                # a memo lookup. Same-chunk entries are still eligible as a
+                # last resort (the np.asarray sync beats idling the slot).
+                avail = sum(1 for a in ahead if a["stamp"] < n_chunks)
+                hot = len(ahead) - avail
                 for si in finished_slots:
                     if avail > 0:
                         assign_slots.append(si)
@@ -1550,6 +1570,9 @@ class EmbedEngine:
                     elif queue:
                         refill_reqs.append(queue.pop(0))
                         refill_slots.append(si)
+                    elif hot > 0:
+                        assign_slots.append(si)
+                        hot -= 1
                     else:
                         slot_active[si] = False
                 if assign_slots:
