@@ -70,6 +70,96 @@ run:
     assert float(cfg.run_cfg.init_lr) == 1e-4
 
 
+def test_model_default_yaml_merge(tmp_path):
+    """Per-model default YAML (configs/models/*.yaml) merges UNDER the user
+    config — model knobs AND the preprocess section — exactly like the
+    reference (common/config.py:62-82). A user config omitting them gets
+    reference-identical defaults; a user override wins."""
+    import thinkdiff_tpu.models  # noqa: F401 — register model classes
+
+    cfg_yaml = tmp_path / "c.yaml"
+    cfg_yaml.write_text(
+        """
+model:
+  arch: mllama-vllm-t5-embed-decoder-2
+  model_type: pretrain_mllama_vllm_t5_embed_decoder_2
+datasets: {}
+run:
+  task: image_text_pretrain
+"""
+    )
+    cfg = Config(cfg_path=str(cfg_yaml))
+    # model defaults from configs/models/mllama_vllm_t5_embed_decoder_2.yaml
+    assert cfg.model_cfg.image_size == 224
+    assert cfg.model_cfg.prompt == ""
+    assert cfg.model_cfg.num_query_token == 32
+    assert cfg.model_cfg.freeze_vit is True
+    # the preprocess section survives into the merged config
+    pp = cfg.preprocess_cfg
+    assert pp.vis_processor.train.name == "blip2_image_train"
+    assert pp.vis_processor.eval.name == "blip2_image_eval"
+    assert pp.vis_processor.train.image_size == 224
+    assert pp.text_processor.train.name == "blip_caption"
+
+    # user overrides (model knob + preprocess subtree) win over defaults
+    cfg_yaml2 = tmp_path / "c2.yaml"
+    cfg_yaml2.write_text(
+        """
+model:
+  arch: blip-vision-t5-decoder
+  model_type: pretrain_blip_vision_t5_decoder
+  image_size: 448
+preprocess:
+  vis_processor:
+    train:
+      image_size: 448
+datasets: {}
+run:
+  task: image_text_pretrain
+"""
+    )
+    cfg2 = Config(cfg_path=str(cfg_yaml2))
+    assert cfg2.model_cfg.image_size == 448
+    assert cfg2.preprocess_cfg.vis_processor.train.image_size == 448
+    # sibling default keys not overridden remain
+    assert cfg2.preprocess_cfg.vis_processor.train.name == "blip2_image_train"
+    assert cfg2.preprocess_cfg.text_processor.eval.name == "blip_caption"
+
+
+def test_model_default_yaml_matches_reference():
+    """The committed defaults must agree with the reference's model YAMLs
+    key-for-key (when the reference tree is mounted)."""
+    import yaml as _yaml
+
+    ref_dir = "/root/reference/thinkdiff/configs/models"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not mounted")
+    import thinkdiff_tpu  # noqa: F401
+
+    repo_root = registry.get_path("repo_root")
+    for name in ("blip_vision_t5_decoder", "mllama_vllm_generate_1",
+                 "mllama_vllm_t5_embed_decoder_2",
+                 "mllama_vllm_t5_embed_decoder_5"):
+        with open(os.path.join(ref_dir, name + ".yaml")) as f:
+            ref = _yaml.safe_load(f)
+        with open(os.path.join(
+                repo_root, "configs", "models", name + ".yaml")) as f:
+            ours = _yaml.safe_load(f)
+        assert ours["model"] == ref["model"], name
+        assert ours["preprocess"] == ref["preprocess"], name
+
+
+def test_default_config_path_unknown_type():
+    import thinkdiff_tpu.models  # noqa: F401
+    from thinkdiff_tpu.models.aligner_lvlm import MllamaT5EmbedDecoder
+
+    with pytest.raises(KeyError):
+        MllamaT5EmbedDecoder.default_config_path("bogus_type")
+    p = MllamaT5EmbedDecoder.default_config_path(
+        "pretrain_mllama_vllm_t5_embed_decoder_2")
+    assert os.path.exists(p)
+
+
 def test_lr_schedule_values():
     sched = linear_warmup_cosine_schedule(
         init_lr=1e-4, min_lr=8e-5, warmup_lr=1e-6, warmup_steps=10, total_steps=100

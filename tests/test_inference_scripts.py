@@ -162,6 +162,42 @@ def test_embed_multi_image_script(tmp_path, monkeypatch):
     assert "generated_text" in js and js["prompt"].startswith("Analyse")
 
 
+def test_text_only_script(tmp_path, monkeypatch):
+    """Text-only CLI over the _5 text APIs: get_text (template and raw
+    modes) and the composed generate -> T5 text chain."""
+    _engine_patch(monkeypatch)
+
+    base_cfg = {
+        "model": {
+            "arch": "mllama-vllm-t5-embed-decoder-5", "dtype": "float32",
+            "load_pretrained": False, "vlm_hidden_size": 64,
+            "t5_config": TINY_T5,
+            "vllm_config": {"embedding_layer_name": "model.norm"},
+        },
+        "datasets": {},
+        "run": {
+            "task": "image_text_pretrain", "seed": 0,
+            "prompts": ["tell me a story", "another one"],
+            "max_new_tokens": 5, "t5_max_new_tokens": 3,
+            "output_dir": str(tmp_path / "out"),
+        },
+    }
+    cfg = {**base_cfg, "run": {**base_cfg["run"], "mode": "get_text"}}
+    _run_script("scripts.test.test_mllama_t5_decoder_text",
+                cfg, tmp_path, monkeypatch)
+    res = json.loads((tmp_path / "out" / "get_text_results.json").read_text())
+    assert len(res) == 2 and all("generated_text" in r for r in res)
+
+    cfg = {**base_cfg, "run": {**base_cfg["run"], "mode": "generate",
+                               "raw_prompts": True}}
+    _run_script("scripts.test.test_mllama_t5_decoder_text",
+                cfg, tmp_path, monkeypatch)
+    res = json.loads((tmp_path / "out" / "generate_results.json").read_text())
+    assert len(res) == 2
+    assert all("t5_token_ids" in r and len(r["t5_token_ids"]) >= 1
+               for r in res)
+
+
 def test_multi_image_input_embed_script(tmp_path, monkeypatch):
     """Text-only embed replay: prompt -> aligned embeds -> pad to max_tokens
     -> FLUX sample."""

@@ -157,6 +157,10 @@ class Config:
 
         for section in (runner_cfg, model_cfg, dataset_cfg, eval_dataset_cfg):
             self.config.merge(section)
+        # the full user config merges LAST (reference common/config.py:40-42)
+        # so user-declared sections — incl. top-level ones no builder owns,
+        # like a user ``preprocess:`` override — always win over defaults
+        self.config.merge(user_cfg)
 
     # -- section builders ---------------------------------------------------
     @staticmethod
@@ -187,7 +191,11 @@ class Config:
         merged.merge({"model": model})
         if "model" not in merged:
             merged["model"] = ConfigNode()
-        return ConfigNode({"model": merged["model"]})
+        # keep EVERY section the model-default YAML contributes — notably
+        # ``preprocess:`` (processor specs a user config relies on without
+        # declaring them; the reference merges the whole default file,
+        # common/config.py:75-80)
+        return merged
 
     @staticmethod
     def build_dataset_config(cfg: ConfigNode) -> ConfigNode:
@@ -233,6 +241,11 @@ class Config:
     @property
     def datasets_cfg(self) -> ConfigNode:
         return self.config.datasets
+
+    @property
+    def preprocess_cfg(self) -> ConfigNode:
+        """Processor specs from the model-default YAML (or user override)."""
+        return self.config.get("preprocess", ConfigNode())
 
     @property
     def evaluation_datasets_cfg(self) -> ConfigNode:

@@ -479,14 +479,14 @@ class EmbedEngine:
                 f"<|im_start|>user\n")
         return len(self.tokenizer.encode(text, add_special_tokens=False))
 
-    def build_prompt(self, text: str, n_images: int,
-                     image_token_counts: Sequence[int]) -> Tuple[str, List[int]]:
-        """Qwen2-VL chat template with expanded image pads. Returns
-        (prompt_text, token_ids)."""
-        prompt = render_chat_prompt(self.system_prompt, text, n_images,
-                                    fmt=self.prompt_format)
+    def tokenize_prompt(self, prompt: str,
+                        image_token_counts: Sequence[int]) -> List[int]:
+        """Tokenize an already-rendered prompt string, expanding each
+        <|image_pad|> to its per-image token count. The raw-prompt entry
+        point for pre-formatted inputs (the reference's vLLM accepts
+        ``{"prompt": ...}`` dicts directly when callers skip processing —
+        mllama_vllm_t5_embed_decoder_2.py:1185-1190 ``need_process=False``)."""
         ids = self.tokenizer.encode(prompt, add_special_tokens=False)
-        # expand each <|image_pad|> to its per-image token count
         pad_id = self.cfg.image_token_id
         out: List[int] = []
         img_i = 0
@@ -496,7 +496,15 @@ class EmbedEngine:
                 img_i += 1
             else:
                 out.append(tid)
-        return prompt, out
+        return out
+
+    def build_prompt(self, text: str, n_images: int,
+                     image_token_counts: Sequence[int]) -> Tuple[str, List[int]]:
+        """Qwen2-VL chat template with expanded image pads. Returns
+        (prompt_text, token_ids)."""
+        prompt = render_chat_prompt(self.system_prompt, text, n_images,
+                                    fmt=self.prompt_format)
+        return prompt, self.tokenize_prompt(prompt, image_token_counts)
 
     # -- jitted device functions --------------------------------------------
     def _get_vision_fn(self):
@@ -688,7 +696,7 @@ class EmbedEngine:
         return decode
 
     # -- request preparation --------------------------------------------------
-    def _prepare(self, texts, images_per_sample):
+    def _prepare(self, texts, images_per_sample, raw: bool = False):
         """Vision passes (grouped by grid) + prompts + M-RoPE positions.
 
         Returns a list of per-request dicts: {prompt, ids, pos, delta,
@@ -714,7 +722,14 @@ class EmbedEngine:
         all_pixels, all_grids = [], []
         per_sample_grids: List[List[Tuple[int, int, int]]] = []
         for img_entry in images_per_sample:
-            imgs = img_entry if isinstance(img_entry, (list, tuple)) else [img_entry]
+            # None -> text-only request (no vision pass, no image tokens);
+            # the chat template renders zero vision parts for it
+            if img_entry is None:
+                imgs: Sequence[Any] = []
+            elif isinstance(img_entry, (list, tuple)):
+                imgs = img_entry
+            else:
+                imgs = [img_entry]
             if self.limit_images_per_prompt is not None:
                 # vllm_config.limit_mm_per_prompt parity (reference
                 # mllama_vllm_t5_embed_decoder_2.py:790-823)
@@ -794,7 +809,12 @@ class EmbedEngine:
         for i in range(b):
             grids = per_sample_grids[i]
             counts = [t * h * w // (merge ** 2) for t, h, w in grids]
-            prompt, ids = self.build_prompt(texts[i], len(grids), counts)
+            if raw:
+                # pre-formatted prompt: tokenize as-is (need_process=False)
+                prompt = texts[i]
+                ids = self.tokenize_prompt(prompt, counts)
+            else:
+                prompt, ids = self.build_prompt(texts[i], len(grids), counts)
             pos, delta = get_mrope_position_ids(
                 np.asarray(ids), np.asarray(grids, np.int64).reshape(-1, 3),
                 self.cfg.image_token_id, merge,
@@ -981,11 +1001,13 @@ class EmbedEngine:
         precompute workloads prefer :meth:`generate_many` (continuous
         batching)."""
         images_per_sample = samples.get("images", [])
-        texts = samples.get("answers") or samples.get("prompts")
+        raw = bool(samples.get("raw_prompts"))
+        texts = (samples.get("raw_prompts") or samples.get("answers")
+                 or samples.get("prompts"))
         b = len(texts)
         max_tokens = int(max_new_tokens or self.max_tokens)
 
-        prepared = self._prepare(texts, images_per_sample)
+        prepared = self._prepare(texts, images_per_sample, raw=raw)
         rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)
         first, hidden, caches, prompt_lens, last_idx, start_pos = \
@@ -1206,7 +1228,9 @@ class EmbedEngine:
         that made 64 slots the throughput peak).
         """
         images_per_sample = samples.get("images", [])
-        texts = samples.get("answers") or samples.get("prompts")
+        raw = bool(samples.get("raw_prompts"))
+        texts = (samples.get("raw_prompts") or samples.get("answers")
+                 or samples.get("prompts"))
         n = len(texts)
         max_tokens = int(max_new_tokens or self.max_tokens)
         slots = int(slots or min(n, self.max_num_seqs))
@@ -1225,7 +1249,7 @@ class EmbedEngine:
         import time as _time
         dbg = _os.environ.get("THINKDIFF_ENGINE_DEBUG")
         _tp0 = _time.perf_counter()
-        prepared = self._prepare(texts, images_per_sample)
+        prepared = self._prepare(texts, images_per_sample, raw=raw)
         t_prepare = _time.perf_counter() - _tp0
         # longest-first: early refill groups get the big prompt buckets
         order = sorted(range(n), key=lambda i: -len(prepared[i]["ids"]))
@@ -1641,6 +1665,19 @@ class EmbedEngine:
 class MllamaVllmGenerateModel:
     """Registry model wrapping the engine for the precompute task — the
     reference's ``mllama-vllm-generate-1`` (mllama_vllm_generate_1.py:364)."""
+
+    default_model_type = "pretrain_mllama_vllm_generate_1"
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "pretrain_mllama_vllm_generate_1":
+            "configs/models/mllama_vllm_generate_1.yaml",
+    }
+
+    @classmethod
+    def default_config_path(cls, model_type: str) -> str:
+        # engine wrapper, not a BaseModel subclass — same resolution
+        from thinkdiff_tpu.models.base import BaseModel
+
+        return BaseModel.default_config_path.__func__(cls, model_type)
 
     def __init__(self, cfg: ConfigNode, engine: Optional[EmbedEngine] = None):
         self.cfg = cfg

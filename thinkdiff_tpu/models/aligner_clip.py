@@ -39,6 +39,10 @@ logger = logging.getLogger(__name__)
 @registry.register_model("blip-vision-t5-decoder")
 class BlipVisionT5Decoder(BaseModel):
     default_model_type = "pretrain_flant5xxl"
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "pretrain_blip_vision_t5_decoder":
+            "configs/models/blip_vision_t5_decoder.yaml",
+    }
     DEFAULT_CONFIG = {
         "mm_projector_type": "mlp2x_gelu_t5_norm",
         "dtype": "bfloat16",

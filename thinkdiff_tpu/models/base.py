@@ -74,6 +74,11 @@ class BaseModel:
 
     DEFAULT_CONFIG: Dict[str, Any] = {}
     default_model_type: Optional[str] = None
+    # model_type -> repo-relative default YAML (model defaults + preprocess
+    # processor specs), merged UNDER every user config by
+    # Config.build_model_config — reference base_model.py:86-90 +
+    # common/config.py:62-82.
+    PRETRAINED_MODEL_CONFIG_DICT: Dict[str, str] = {}
 
     def __init__(self, cfg: Optional[ConfigNode] = None):
         self.cfg = cfg if cfg is not None else ConfigNode(dict(self.DEFAULT_CONFIG))
@@ -81,6 +86,25 @@ class BaseModel:
     @classmethod
     def from_config(cls, cfg) -> "BaseModel":
         return cls(cfg)
+
+    @classmethod
+    def default_config_path(cls, model_type: str) -> str:
+        if model_type not in cls.PRETRAINED_MODEL_CONFIG_DICT:
+            raise KeyError(f"Unknown model type {model_type} for "
+                           f"{cls.__name__}")
+        from thinkdiff_tpu.core.registry import registry
+
+        root = registry.get_path("repo_root", os.getcwd())
+        return os.path.join(root, cls.PRETRAINED_MODEL_CONFIG_DICT[model_type])
+
+    @classmethod
+    def from_pretrained(cls, model_type: str) -> "BaseModel":
+        """Build from the model-type default YAML alone (reference
+        base_model.py:75-83)."""
+        from thinkdiff_tpu.core.config import load_yaml
+
+        cfg = load_yaml(cls.default_config_path(model_type)).get("model")
+        return cls.from_config(cfg)
 
     # -- checkpoint surface (trainable subtree only) ------------------------
     def trainable_params(self) -> Any:
