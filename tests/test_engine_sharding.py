@@ -125,6 +125,40 @@ def test_flux_sampler_on_mesh():
     assert np.isfinite(np.asarray(latents, np.float32)).all()
 
 
+def test_cogvideox_sampler_on_mesh():
+    """Sharded CogVideoX denoise: TP kernels over `model` (incl. the ff1/ff2
+    MLP pair), numerics parity vs the unsharded sampler."""
+    from thinkdiff_tpu.models.cogvideox import (
+        CogVideoXConfig, CogVideoXSampler, CogVideoXTransformer,
+    )
+
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    cfg = CogVideoXConfig.tiny(hidden_size=128, num_heads=4)
+    model = CogVideoXTransformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng, jnp.zeros((1, 2, 8, 8, cfg.in_channels)),
+        jnp.zeros((1, cfg.max_text_len, cfg.text_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    rs = np.random.RandomState(0)
+    text = rs.randn(2, cfg.max_text_len, cfg.text_dim).astype(np.float32)
+
+    ref = CogVideoXSampler(cfg, params).sample(
+        text, frames=2, height=16, width=16, num_steps=2, seed=0)
+
+    sampler = CogVideoXSampler(cfg, params, mesh=mesh)
+    for name in ("to_q", "to_out", "ff1", "ff2"):
+        k = sampler.params["block_0"][name]["kernel"]
+        assert not k.sharding.is_fully_replicated, name
+    lat = sampler.sample(
+        text, frames=2, height=16, width=16, num_steps=2, seed=0)
+    assert lat.shape == (2, 2, 16, 16, cfg.in_channels)
+    np.testing.assert_allclose(np.asarray(lat, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+
 def _per_device_bytes_fraction(tree):
     """(per-device bytes) / (global bytes) for a sharded param tree —
     1.0 means fully replicated, 0.25 is ideal on a model=2 x fsdp=2 mesh."""

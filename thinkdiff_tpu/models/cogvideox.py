@@ -236,8 +236,16 @@ class CogVideoXSampler:
     pipeline's dynamic cfg: guidance ramps with a cosine over steps."""
 
     def __init__(self, cfg: CogVideoXConfig, params: Dict[str, Any],
-                 num_train_steps: int = 1000):
+                 num_train_steps: int = 1000, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # 5b transformer on a mesh: TP-shard the attention/MLP
+            # projections over `model` like FluxSampler (the regex rules in
+            # parallel/sharding.py match the same kernel name patterns)
+            from thinkdiff_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.model = CogVideoXTransformer(cfg)
         betas = cosine_betas(num_train_steps)

@@ -23,9 +23,9 @@ from thinkdiff_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, MODEL_AXIS
 #   model axis; output projection -> shard in dim (row parallel). Embeddings
 #   (vocab, dim) -> shard vocab. MLP wi -> column, wo -> row.
 DEFAULT_RULES: Sequence[Tuple[str, P]] = (
-    (r".*(q_proj|k_proj|v_proj|wi|wi_0|wi_1|wi_fused|kv_fused|fc1|up_proj|gate_proj|gate_up|to_q|to_k|to_v|qkv)/kernel$",
+    (r".*(q_proj|k_proj|v_proj|wi|wi_0|wi_1|wi_fused|kv_fused|fc1|up_proj|gate_proj|gate_up|to_q|to_k|to_v|qkv|ff1)/kernel$",
      P(FSDP_AXIS, MODEL_AXIS)),
-    (r".*(o_proj|wo|fc2|down_proj|to_out|proj_out)/kernel$",
+    (r".*(o_proj|wo|fc2|down_proj|to_out|proj_out|ff2)/kernel$",
      P(MODEL_AXIS, FSDP_AXIS)),
     # any flax nn.Embed table (leaf 'embedding'): (vocab, dim) -> vocab over
     # model, dim over fsdp. Covers embed_tokens (Qwen2-VL tied table, 622 MB
