@@ -94,6 +94,58 @@ class TestWideInt8Matmul:
         gtol = 2e-2 * float(jnp.max(jnp.abs(gr)))
         np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=gtol)
 
+    def test_s8_fused_fwd_matches_xla_epilogue(self):
+        """Fused s8xs8 kernel == XLA's quant->s8 dot->dequant chain. int32
+        accumulation is exact, so only the f32 epilogue rounds — tolerances
+        are tight."""
+        im, ctx = self._interp()
+        rs = np.random.RandomState(1)
+        m, k, n = 96, 256, 384
+        x = jnp.asarray(rs.randn(m, k), jnp.float32)
+        q = jnp.asarray(rs.randint(-127, 128, (k, n)), jnp.int8)
+        s = jnp.asarray(rs.rand(n) * 0.01 + 1e-3, jnp.float32)
+        from thinkdiff_tpu.ops.quant import _absmax_quant_rows
+
+        xq, sx = _absmax_quant_rows(x)
+        acc = np.asarray(xq, np.int64) @ np.asarray(q, np.int64)
+        ref = acc.astype(np.float32) * np.asarray(sx)[:, None] * np.asarray(s)[None]
+        with ctx:
+            y = im._s8_matmul_fused(xq, sx, q, s, jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+    def test_s8_fused_bwd_matches_xla_epilogue(self):
+        im, ctx = self._interp()
+        rs = np.random.RandomState(2)
+        m, k, n = 64, 384, 256
+        q = jnp.asarray(rs.randint(-127, 128, (k, n)), jnp.int8)
+        g = jnp.asarray(rs.randn(m, n), jnp.float32)
+        from thinkdiff_tpu.ops.quant import _absmax_quant_rows
+
+        gq, sg = _absmax_quant_rows(g)
+        acc = np.asarray(gq, np.int64) @ np.asarray(q, np.int64).T
+        ref = acc.astype(np.float32) * np.asarray(sg)[:, None]
+        with ctx:
+            dx = im._s8_matmul_fused_bwd(gq, sg, q, jnp.float32)
+        np.testing.assert_allclose(np.asarray(dx), ref, rtol=1e-5, atol=1e-5)
+
+    def test_s8_fused_row_padding(self):
+        """Non-multiple-of-block row counts pad internally and slice back."""
+        im, ctx = self._interp()
+        rs = np.random.RandomState(3)
+        m, k, n = 33, 128, 128
+        x = jnp.asarray(rs.randn(m, k), jnp.float32)
+        q = jnp.asarray(rs.randint(-127, 128, (k, n)), jnp.int8)
+        s = jnp.ones((n,), jnp.float32)
+        from thinkdiff_tpu.ops.quant import _absmax_quant_rows
+
+        xq, sx = _absmax_quant_rows(x)
+        acc = np.asarray(xq, np.int64) @ np.asarray(q, np.int64)
+        ref = acc.astype(np.float32) * np.asarray(sx)[:, None]
+        with ctx:
+            y = im._s8_matmul_fused(xq, sx, q, s, jnp.float32)
+        assert y.shape == (m, n)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
     def test_wide_unsupported_dims_fall_back(self):
         im, _ = self._interp()
         rs = np.random.RandomState(0)

@@ -38,6 +38,50 @@ def _child_env():
 
 
 @pytest.mark.slow
+def test_two_process_precompute_disjoint_shards(tmp_path):
+    """2-process precompute (each rank: its loader shard + its own engine,
+    the multi-host serving model): per-rank output shard ranges must be
+    DISJOINT (rank offset, runners/runner_process_data.py:37-40) and merge
+    into exactly-once coverage of the dataset."""
+    from tests.test_precompute_e2e import _make_image_shards
+
+    _make_image_shards(tmp_path, n=8)
+    port = _free_port()
+    script = os.path.join(REPO, "tests", "_multihost_precompute_child.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(rank), str(port), str(tmp_path)],
+            env=_child_env(), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for rank in range(2)
+    ]
+    counts = {}
+    for rank, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}"
+        m = re.search(r"PRECOMPUTE_RANK (\d) n=(\d+)", out)
+        assert m, out
+        counts[int(m.group(1))] = int(m.group(2))
+    # loader splits 8 samples over 2 ranks
+    assert counts[0] + counts[1] == 8 and counts[0] > 0 and counts[1] > 0
+
+    import glob
+
+    from thinkdiff_tpu.data.tario import tar_sample_iterator
+
+    shards = sorted(glob.glob(str(tmp_path / "embed" / "*.tar")))
+    # rank 1's range starts at index 100000 — disjoint by construction
+    names = [os.path.basename(s) for s in shards]
+    assert "000000.tar" in names and "100000.tar" in names, names
+    keys = []
+    for s in shards:
+        for sample in tar_sample_iterator(s, decode=True):
+            keys.append(sample["__key__"])
+    assert sorted(keys) == [f"img{i:06d}" for i in range(8)], keys
+
+
+@pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
     script = os.path.join(REPO, "tests", "_multihost_child.py")

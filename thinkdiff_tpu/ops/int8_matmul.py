@@ -273,3 +273,150 @@ def _wide_bwd_rule(res, g):
 
 
 int8_matmul_wide.defvjp(_wide_fwd_rule, _wide_bwd_rule)
+
+
+# ======================= fused s8 x s8 matmul (w8a8) ========================
+#
+# True int8 MXU path with the dequant epilogue FUSED: the int32 accumulator
+# lives in VMEM scratch and is scaled (per-row activation scale x per-column
+# weight scale) on the final K step of each output tile — the (M, N) int32
+# intermediate never touches HBM. This is the round-4 verdict's named lever:
+# the XLA w8a8 dot at training shapes (rows <= 2048) pays an unfused
+# int32-accumulate + dequant epilogue (PERF.md "MFU ceiling analysis", 41%
+# of s8 peak). Activation quantization stays an XLA pre-pass (per-row absmax
+# needs full K before tiling; it is one bandwidth-bound read of x that XLA
+# fuses with the producer).
+
+
+def _s8_fwd_kernel(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                   num_k: int):
+    """grid (nR, nN, nK) k innermost; x (bR,bK) s8, w (bK,bN) s8,
+    sx (bR,) f32 per-row act scales, s (bN,) f32 per-col weight scales."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(ki == num_k - 1)
+    def _fin():
+        sx = sx_ref[0, :].astype(jnp.float32)
+        s = s_ref[0, :].astype(jnp.float32)
+        o_ref[...] = (acc_ref[:].astype(jnp.float32)
+                      * sx[:, None] * s[None]).astype(o_ref.dtype)
+
+
+def _s8_blocks(r, k, n, transpose_w=False):
+    # int8 min tile is (32, 128); acc f32 (bR, bN). bR 512 keeps the weight
+    # restreams low while x/w tiles + acc fit VMEM comfortably:
+    # 512*512 s8 x2 + 512*512*4 = 1.5 MB.
+    block_r = min(512, max(32, _cdiv(r, 32) * 32))
+    block_n = _pick_block(n, (512, 384, 256, 128))
+    block_k = _pick_block(k, (512, 384, 256, 128))
+    return block_r, block_k, block_n
+
+
+def _s8_matmul_fused(xq, sx, w_q, scale, out_dtype):
+    """xq (R, K) int8, sx (R,) f32, w_q (K, N) int8, scale (N,) f32."""
+    r, k = xq.shape
+    n = w_q.shape[1]
+    block_r, block_k, block_n = _s8_blocks(r, k, n)
+    r_pad = _cdiv(r, block_r) * block_r - r
+    if r_pad:
+        xq = jnp.pad(xq, ((0, r_pad), (0, 0)))
+        sx = jnp.pad(sx, (0, r_pad))
+    grid = ((r + r_pad) // block_r, n // block_n, k // block_k)
+    out = pl.pallas_call(
+        functools.partial(_s8_fwd_kernel, num_k=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, block_k), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i, j, kk: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, block_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r + r_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_r, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (r + r_pad) * k * n,
+            bytes_accessed=k * n + (r + r_pad) * k + (r + r_pad) * n * 2,
+            transcendentals=0,
+        ),
+    )(xq, sx.reshape(1, -1), w_q, scale.reshape(1, -1))
+    return out[:r] if r_pad else out
+
+
+def _s8_bwd_kernel(g_ref, sg_ref, w_ref, o_ref, acc_ref, *, num_n: int):
+    """grid (nR, nK, nN) n innermost; dx(bR,bK) = sum_n g(bR,bN) @ w(bK,bN)^T
+    with g pre-quantized s8 rows (weight scales already folded into g)."""
+    ni = pl.program_id(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        g_ref[...], w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(ni == num_n - 1)
+    def _fin():
+        sg = sg_ref[0, :].astype(jnp.float32)
+        o_ref[...] = (acc_ref[:].astype(jnp.float32)
+                      * sg[:, None]).astype(o_ref.dtype)
+
+
+def _s8_matmul_fused_bwd(gq, sg, w_q, out_dtype):
+    """gq (R, N) int8 (scale-folded grads), sg (R,) f32, w_q (K, N) int8
+    -> dx (R, K)."""
+    r, n = gq.shape
+    k = w_q.shape[0]
+    block_r, block_k, block_n = _s8_blocks(r, k, n)
+    r_pad = _cdiv(r, block_r) * block_r - r
+    if r_pad:
+        gq = jnp.pad(gq, ((0, r_pad), (0, 0)))
+        sg = jnp.pad(sg, (0, r_pad))
+    grid = ((r + r_pad) // block_r, k // block_k, n // block_n)
+    out = pl.pallas_call(
+        functools.partial(_s8_bwd_kernel, num_n=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, block_n), lambda i, j, nn: (i, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i, j, nn: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, nn: (j, nn),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, block_k), lambda i, j, nn: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r + r_pad, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_r, block_k), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (r + r_pad) * k * n,
+            bytes_accessed=k * n + (r + r_pad) * n + (r + r_pad) * k * 2,
+            transcendentals=0,
+        ),
+    )(gq, sg.reshape(1, -1), w_q)
+    return out[:r] if r_pad else out
+
+
+def s8_supported(k: int, n: int) -> bool:
+    return bool(_pick_block(n, (512, 384, 256, 128))
+                and _pick_block(k, (512, 384, 256, 128)))
