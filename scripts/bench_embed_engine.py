@@ -83,6 +83,11 @@ def main():
                              "pre-prefill this many queued requests at "
                              "full-row geometry so refills are page-table "
                              "updates, not rows<=16 prefills")
+    parser.add_argument("--eos-lag", type=int, default=0,
+                        help="pipelined EOS accounting depth (paged, "
+                             "value-reading workloads): resolve chunk c's "
+                             "tokens after chunk c+L is dispatched so the "
+                             "sync overlaps device compute. 0 = off")
     parser.add_argument("--vision-quant", choices=["none", "int8", "w8a8"],
                         default="none",
                         help="vision-tower quantization (decoder quant is "
@@ -134,6 +139,7 @@ def main():
         max_num_seqs=max(slots, 16), kv_page_size=args.page_size,
         prefill_chunk=args.prefill_chunk or None,
         preadmit_wave=args.preadmit,
+        eos_lag=args.eos_lag,
     )
     rs = np.random.RandomState(0)
     imgs = [Image.fromarray(
@@ -146,14 +152,19 @@ def main():
         if args.mean_len <= 0:
             # min_tokens = max_tokens eval shape (the reference's LVLM
             # inference point: configs/test_thinkdiff_lvlm_*.yaml sets
-            # min=max=128 with ignore_eos)
+            # min=max=128 with ignore_eos). Constructor ignore_eos=True
+            # stands and no stop hook is installed, so the engine's
+            # dispatch-only decode loop (lazy_tokens) applies — the 7B
+            # median/best gap was host-sync, not device work (PERF.md).
             lengths = np.full(n, args.max_tokens, dtype=int)
         else:
             lengths = np.clip(rs.normal(args.mean_len, args.mean_len // 2, n)
                               .astype(int), 8, args.max_tokens)
-        engine.ignore_eos = False
-        engine.eos_ids = [2]
-        engine.stop_fn = lambda req, toks: len(toks) >= lengths[req]
+            engine.ignore_eos = False
+            engine.eos_ids = [2]
+            # count-only stop hook (values unread): the length emulation
+            # composes with the lazy/pipelined token accounting
+            engine.stop_len_fn = lambda req, m: m >= lengths[req]
         imgs_n = [imgs[i % len(imgs)] for i in range(n)]
         req = {"images": imgs_n,
                "answers": ["Describe the image concisely."] * n}
@@ -210,6 +221,7 @@ def main():
         "vision_quant": args.vision_quant,
         "preadmit": args.preadmit,
         "refill_batch": args.refill_batch,
+        "eos_lag": args.eos_lag,
         "phases_best": (phase_log[int(np.argmin(iter_times))]
                         if args.mode in ("continuous", "paged") and phase_log
                         else None),

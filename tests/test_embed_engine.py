@@ -698,3 +698,95 @@ def test_generate_many_preadmit_with_chunked_prefill():
         np.testing.assert_allclose(
             ref.hidden_states[i], out.hidden_states[i],
             rtol=2e-2, atol=2e-2)
+
+
+def test_generate_many_lazy_tokens_parity():
+    """Fixed-length serving (ignore_eos, no stop hook) runs the decode +
+    refill loop dispatch-only: per-chunk token matrices stay device-side
+    (lazy pieces) until the final resolve, and preadmitted first tokens are
+    gathered on device at assignment. Must be a pure perf knob: tokens,
+    texts, and hidden states identical to synchronous accounting
+    (lazy_tokens=False), greedy and sampled, incl. composed with preadmit
+    waves and chunked prefill."""
+    engine = make_engine(max_tokens=8, min_tokens=1, temperature=0.0)
+    engine.kv_page_size = 8
+    engine.ignore_eos = True
+    prompts = [f"item {i} " + "pad " * (i % 5) for i in range(10)]
+    engine.lazy_tokens = False
+    ref = engine.generate_many(
+        {"prompts": prompts}, seed=7, slots=3, chunk=4, paged=True)
+    engine.lazy_tokens = True
+    out = engine.generate_many(
+        {"prompts": prompts}, seed=7, slots=3, chunk=4, paged=True)
+    assert ref.output_token_ids == out.output_token_ids
+    assert ref.texts == out.texts
+    for i in range(10):
+        np.testing.assert_allclose(
+            ref.hidden_states[i], out.hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            ref.prompt_hidden_states[i], out.prompt_hidden_states[i],
+            rtol=2e-2, atol=2e-2)
+
+    # sampled + preadmit + chunked prefill (the 7B bench composition)
+    engine2 = make_engine(max_tokens=8, min_tokens=1, temperature=0.7)
+    engine2.kv_page_size = 8
+    engine2.ignore_eos = True
+    engine2.prefill_chunk = 64
+    engine2.preadmit_wave = 4
+    engine2.lazy_tokens = False
+    ref = engine2.generate_many(
+        {"prompts": prompts}, seed=11, slots=3, chunk=4, paged=True)
+    engine2.lazy_tokens = True
+    out = engine2.generate_many(
+        {"prompts": prompts}, seed=11, slots=3, chunk=4, paged=True)
+    assert ref.output_token_ids == out.output_token_ids
+    assert ref.texts == out.texts
+
+
+def test_generate_many_eos_lag_parity():
+    """Pipelined EOS accounting (eos_lag >= 1) detects EOS up to `lag`
+    chunks late but cuts outputs exactly at EOS — greedy token streams,
+    texts, and hidden states must be bit-identical to eos_lag=0 (each
+    slot's generation is independent of WHEN other slots refill under
+    greedy decoding). Exercises the valid_from garbage-row skip (a slot
+    refilled while its replacement's chunks were in flight) and the
+    enlarged per-slot page slack."""
+    prompts = [f"describe item {i} " + "pad " * (i % 6) for i in range(12)]
+    engine = make_engine(max_tokens=10, min_tokens=1, temperature=0.0)
+    engine.kv_page_size = 8
+    ref = engine.generate_many(
+        {"prompts": prompts}, seed=5, slots=3, chunk=4, paged=True)
+    for lag in (1, 2):
+        engine.eos_lag = lag
+        out = engine.generate_many(
+            {"prompts": prompts}, seed=5, slots=3, chunk=4, paged=True)
+        engine.eos_lag = 0
+        assert ref.output_token_ids == out.output_token_ids, lag
+        assert ref.texts == out.texts, lag
+        for i in range(12):
+            np.testing.assert_allclose(
+                ref.hidden_states[i], out.hidden_states[i],
+                rtol=2e-2, atol=2e-2)
+            np.testing.assert_allclose(
+                ref.prompt_hidden_states[i], out.prompt_hidden_states[i],
+                rtol=2e-2, atol=2e-2)
+
+    # composed with preadmit + chunked prefill + count-stop hook (the 2B
+    # bench composition: eos_ids non-empty so lazy_tok stays OFF and the
+    # eos_lag pipeline is the active path)
+    engine.prefill_chunk = 64
+    engine.preadmit_wave = 4
+    lengths = [3 + (i % 5) for i in range(12)]
+    engine.stop_len_fn = lambda req, m: m >= lengths[req]
+    ref = engine.generate_many(
+        {"prompts": prompts}, seed=9, slots=3, chunk=4, paged=True)
+    engine.eos_lag = 2
+    out = engine.generate_many(
+        {"prompts": prompts}, seed=9, slots=3, chunk=4, paged=True)
+    engine.eos_lag = 0
+    engine.stop_len_fn = None
+    engine.prefill_chunk = None
+    engine.preadmit_wave = 0
+    assert ref.output_token_ids == out.output_token_ids
+    assert ref.texts == out.texts

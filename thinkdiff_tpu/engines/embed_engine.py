@@ -294,7 +294,8 @@ class EmbedEngine:
                  prefill_chunk: Optional[int] = None,
                  prompt_format: str = "qwen2_vl",
                  top_k_prefilter: int = 64,
-                 preadmit_wave: int = 0):
+                 preadmit_wave: int = 0,
+                 eos_lag: int = 0):
         from thinkdiff_tpu.core.distributed import enable_compilation_cache
 
         # serving cold-start: persist compiled executables across engine
@@ -350,6 +351,12 @@ class EmbedEngine:
         # rows<=16 device prefill (87 vs 164 TF/s at the serving point —
         # scripts/bench_prefill_micro). 0 = off (admit-on-free).
         self.preadmit_wave = int(preadmit_wave or 0)
+        # pipelined EOS accounting (paged, value-reading workloads): resolve
+        # chunk c's tokens only after chunk c+eos_lag is dispatched, so the
+        # token sync overlaps device compute instead of stalling dispatch.
+        # EOS is detected up to eos_lag chunks late (outputs still cut
+        # exactly); greedy streams are bit-identical to eos_lag=0.
+        self.eos_lag = int(eos_lag or 0)
         self.prompt_format = prompt_format
         self.vision = Qwen2VisionTower(cfg.vision)
         self.lm = Qwen2VLModel(cfg)
@@ -446,6 +453,7 @@ class EmbedEngine:
             vision_batch=int(vcfg.get("vision_batch", 32)),
             top_k_prefilter=int(vcfg.get("top_k_prefilter", 64)),
             preadmit_wave=int(vcfg.get("preadmit_wave", 0)),
+            eos_lag=int(vcfg.get("eos_lag", 0)),
             # vLLM flag name honored; explicit prefill_chunk sets the chunk
             # (0/None/absent = bucketed one-shot prefill)
             prefill_chunk=(int(vcfg.get("prefill_chunk") or 0)
@@ -1244,6 +1252,36 @@ class EmbedEngine:
             # static batching is optimal when nothing can finish early
             return self.generate(samples, max_new_tokens=max_new_tokens,
                                  seed=seed)
+        # Length-determined serving: when token VALUES never steer the loop
+        # — no EOS scan (ignore_eos, or no eos_ids) and no value-reading
+        # stop hook (stop_len_fn, the count-only hook, is fine) —
+        # completions are slot_gen-counted on the host and refill timing is
+        # deterministic, so the whole decode+refill pipeline runs
+        # DISPATCH-ONLY: per-chunk token matrices become lazy host pieces
+        # (copy_to_host_async) resolved after the loop, and _assign gathers
+        # preadmitted first tokens device-side. Without this the per-chunk
+        # np.asarray(chunk_tokens) queues behind the hidden d2h stream
+        # (~59 MB per 16-row refill group at 7B over a slow host link) and
+        # the device idles a transfer RTT per chunk — the round-4 7B
+        # median/best bimodality (PERF.md "7B serving operating point").
+        # Disable via self.lazy_tokens = False (parity tests).
+        lazy_tok = bool(paged
+                        and (self.ignore_eos or not self.eos_ids)
+                        and getattr(self, "stop_fn", None) is None
+                        and getattr(self, "lazy_tokens", True))
+        # When token values ARE read (EOS scan / stop_fn), eos_lag = L >= 1
+        # pipelines the accounting instead (vLLM async output processing):
+        # chunk c's tokens resolve only after chunk c+L is dispatched, so
+        # the sync overlaps a full chunk of device compute. EOS lands up to
+        # L chunks late — outputs are still cut exactly at EOS in _finish; a
+        # dying slot decodes <= L extra garbage chunks into its own slack
+        # pages (sized below) and those rows are skipped via valid_from.
+        # Greedy token streams are bit-identical to lag=0; sampled runs draw
+        # from the same distribution but not the same stream (refill
+        # boundaries shift rng consumption — same caveat as chunked
+        # prefill, _prefill_chunked docstring).
+        lag = (0 if lazy_tok or not paged
+               else max(0, int(getattr(self, "eos_lag", 0))))
 
         import os as _os
         import time as _time
@@ -1271,7 +1309,11 @@ class EmbedEngine:
             hd, hkv = self.cfg.head_dim, self.cfg.num_kv_heads
             # worst-case pages a request can ever hold (its OWN prompt, not
             # the global bucket — the memory win over the dense cache)
-            need = [-(-(len(p["ids"]) + max_tokens + chunk) // page)
+            # + chunk*(1+lag): a slot finishing mid-chunk keeps writing
+            # garbage KV until the boundary, plus up to `lag` in-flight
+            # chunks before pipelined accounting notices the finish
+            need = [-(-(len(p["ids"]) + max_tokens + chunk * (1 + lag))
+                      // page)
                     for p in prepared]
             mp = max(need)
             # requests are admitted longest-first, so the initial fill is
@@ -1311,6 +1353,10 @@ class EmbedEngine:
         slot_prompt_hidden: List[Any] = [None] * slots
         slot_gen = np.zeros((slots,), np.int64)
         slot_active = np.ones((slots,), bool)
+        # first chunk index whose decode rows belong to the slot's CURRENT
+        # request (admissions set it to the next-dispatched chunk's index;
+        # earlier in-flight chunks are another request's garbage — eos_lag)
+        valid_from = np.zeros((slots,), np.int64)
 
         tokens_dev = jnp.zeros((slots,), jnp.int32)
         cache_len = jnp.zeros((slots,), jnp.int32)
@@ -1389,9 +1435,14 @@ class EmbedEngine:
                 gen_count = gen_count.at[sl].set(1)
                 if hasattr(r_first, "copy_to_host_async"):
                     r_first.copy_to_host_async()
-                pending_first.append((r_first, list(g_slots)))
+                cell = {"dev": r_first, "arr": None} if lazy_tok else None
+                if not lazy_tok:
+                    pending_first.append((r_first, list(g_slots)))
                 for j, si in enumerate(g_slots):
-                    slot_tokens[si] = []
+                    # lazy mode: the first token stays a device-backed piece
+                    # (resolved with the chunk pieces after the loop)
+                    slot_tokens[si] = [("f", cell, j)] if lazy_tok else []
+                    valid_from[si] = n_chunks
                     # lazy hidden PIECES (resolved at result assembly so
                     # the d2h overlaps decode): ("seed"/"gen", lazy, row,
                     # take) and ("prompt", lazy, row, prompt_len)
@@ -1468,20 +1519,29 @@ class EmbedEngine:
                 table_np[si, :] = 0
                 table_np[si, :k] = slot_pages[si]
                 cell = a["cell"]
-                if cell["arr"] is None:
-                    cell["arr"] = np.asarray(cell["dev"])
-                    cell["dev"] = None  # drop the device handle
-                tok = int(cell["arr"][a["row"]])
-                firsts.append(tok)
+                if lazy_tok:
+                    # device-side scalar gather: no host sync on the refill
+                    # path (the async d2h keeps streaming for the final
+                    # resolve, which reads cell["arr"] or re-asks the dev)
+                    firsts.append(cell["dev"][a["row"]])
+                    slot_tokens[si] = [("f", cell, a["row"])]
+                else:
+                    if cell["arr"] is None:
+                        cell["arr"] = np.asarray(cell["dev"])
+                        cell["dev"] = None  # drop the device handle
+                    tok = int(cell["arr"][a["row"]])
+                    firsts.append(tok)
+                    slot_tokens[si] = [tok]
                 slot_req[si] = a["req"]
-                slot_tokens[si] = [tok]
                 slot_hidden[si] = [a["seed"]]
                 slot_prompt_hidden[si] = a["prompt"]
                 slot_gen[si] = 1
+                valid_from[si] = n_chunks
             table_dev = jnp.asarray(table_np)
             sl = jnp.asarray(slot_ids, jnp.int32)
             tokens_dev = tokens_dev.at[sl].set(
-                jnp.asarray(firsts, jnp.int32))
+                jnp.stack(firsts) if lazy_tok
+                else jnp.asarray(firsts, jnp.int32))
             cache_len = cache_len.at[sl].set(jnp.asarray(
                 [a["plen"] for a in entries], jnp.int32))
             pos = pos.at[sl].set(jnp.asarray(
@@ -1499,6 +1559,16 @@ class EmbedEngine:
         def _finish(si):
             req = slot_req[si]
             toks = slot_tokens[si]
+            if lazy_tok:
+                # pieces stay lazy; text decode happens at final resolve
+                # (ignore_eos: cut is the host-side counter, no EOS scan)
+                cut = min(int(slot_gen[si]), max_tokens)
+                results[req] = (None, list(prepared[req]["ids"]),
+                                ("lazy", list(toks), cut),
+                                slot_prompt_hidden[si],
+                                (list(slot_hidden[si]), cut),
+                                prepared[req]["prompt"])
+                return
             cut = len(toks)
             if not self.ignore_eos and self.eos_ids:
                 for j, t in enumerate(toks):
@@ -1517,39 +1587,20 @@ class EmbedEngine:
                             (list(slot_hidden[si]), cut), p["prompt"])
 
         t_decode = t_sync = t_refill = t_account = 0.0
-        _t_loop0 = _time.perf_counter()
-        while slot_active.any():
-            rng, sub = jax.random.split(rng)
-            _t0 = _time.perf_counter()
-            if paged:
-                fn = self._get_paged_chunk_fn(
-                    chunk, self.min_tokens, self.temperature, self.top_p)
-                (pools, tokens_dev, cache_len, pos, gen_count,
-                 chunk_tokens, chunk_hidden) = fn(
-                    self.params["lm"], pools, table_dev, tokens_dev,
-                    cache_len, pos, gen_count, sub)
-            else:
-                max_len = int(np.asarray(cache_len)[slot_active].max()) + chunk
-                window = min(-(-max_len // 256) * 256, cache_size)
-                fn = self._get_chunk_decode_fn(
-                    chunk, self.min_tokens, self.temperature, self.top_p,
-                    window)
-                (caches, tokens_dev, cache_len, pos, gen_count,
-                 chunk_tokens, chunk_hidden) = fn(
-                    self.params["lm"], caches, tokens_dev, cache_len, pos,
-                    gen_count, sub)
-            _t1 = _time.perf_counter()
-            # hidden d2h is LAZY (streams behind the next chunk's compute);
-            # only the token matrix blocks the loop
-            chunk_hidden = _HostHidden([chunk_hidden])
-            chunk_tokens = np.asarray(chunk_tokens)          # (S, chunk)
-            _t2 = _time.perf_counter()
-            t_decode += _t1 - _t0
-            t_sync += _t2 - _t1
-            n_chunks += 1
+        pending_acct: List[Tuple[Any, Any, int]] = []
 
+        def _account(tok, chunk_hidden, cidx):
+            """Token accounting + EOS/stop/finish + refill for chunk `cidx`.
+            `tok` is an (S, chunk) np array (sync), a device handle
+            (eos_lag — resolved here, `lag` chunks after dispatch), or a
+            lazy cell dict (lazy_tok — never resolved here)."""
+            nonlocal t_sync, t_account, t_refill
+            if not lazy_tok and not isinstance(tok, np.ndarray):
+                _ts = _time.perf_counter()
+                tok = np.asarray(tok)                        # (S, chunk)
+                t_sync += _time.perf_counter() - _ts
             _ta0 = _time.perf_counter()
-            if pending_first:  # resolve last chunk's admitted first tokens
+            if pending_first:  # resolve admitted first tokens (sync modes)
                 for r_first, g_slots in pending_first:
                     arr = np.asarray(r_first)
                     for j, si in enumerate(g_slots):
@@ -1557,10 +1608,16 @@ class EmbedEngine:
                 pending_first.clear()
             finished_slots = []
             for si in range(slots):
-                if not slot_active[si]:
+                if not slot_active[si] or cidx < valid_from[si]:
+                    # rows dispatched before this slot's admission (eos_lag:
+                    # a refilled slot's in-flight chunks) are garbage
                     continue
                 take = min(chunk, max_tokens - slot_gen[si])
-                slot_tokens[si].extend(int(t) for t in chunk_tokens[si, :take])
+                if lazy_tok:
+                    slot_tokens[si].append(("c", tok, si, int(take)))
+                else:
+                    slot_tokens[si].extend(
+                        int(t) for t in tok[si, :take])
                 slot_hidden[si].append(("gen", chunk_hidden, si, int(take)))
                 slot_gen[si] += take
                 done = slot_gen[si] >= max_tokens
@@ -1569,9 +1626,14 @@ class EmbedEngine:
                     done = any(t in self.eos_ids
                                for j, t in enumerate(toks)
                                if j >= self.min_tokens - 1)
+                if not done and getattr(self, "stop_len_fn", None) is not None:
+                    # count-only stop hook (length-emulating benches): needs
+                    # no token values, so it composes with lazy_tok
+                    done = bool(self.stop_len_fn(slot_req[si],
+                                                 int(slot_gen[si])))
                 if not done and getattr(self, "stop_fn", None) is not None:
                     # extension point for stop-sequences (vLLM
-                    # SamplingParams.stop) and length-emulating benches
+                    # SamplingParams.stop); reads VALUES — excludes lazy_tok
                     done = bool(self.stop_fn(slot_req[si], slot_tokens[si]))
                 if done:
                     _finish(si)
@@ -1607,6 +1669,54 @@ class EmbedEngine:
                     _preadmit()  # next wave while this one drains
                 t_refill += _time.perf_counter() - _t0
 
+        _t_loop0 = _time.perf_counter()
+        while slot_active.any():
+            rng, sub = jax.random.split(rng)
+            _t0 = _time.perf_counter()
+            if paged:
+                fn = self._get_paged_chunk_fn(
+                    chunk, self.min_tokens, self.temperature, self.top_p)
+                (pools, tokens_dev, cache_len, pos, gen_count,
+                 chunk_tokens, chunk_hidden) = fn(
+                    self.params["lm"], pools, table_dev, tokens_dev,
+                    cache_len, pos, gen_count, sub)
+            else:
+                max_len = int(np.asarray(cache_len)[slot_active].max()) + chunk
+                window = min(-(-max_len // 256) * 256, cache_size)
+                fn = self._get_chunk_decode_fn(
+                    chunk, self.min_tokens, self.temperature, self.top_p,
+                    window)
+                (caches, tokens_dev, cache_len, pos, gen_count,
+                 chunk_tokens, chunk_hidden) = fn(
+                    self.params["lm"], caches, tokens_dev, cache_len, pos,
+                    gen_count, sub)
+            _t1 = _time.perf_counter()
+            # hidden d2h is LAZY (streams behind the next chunk's compute);
+            # only the token matrix blocks the loop — and in lazy_tok /
+            # eos_lag modes not even that: lazy_tok turns the (S, chunk)
+            # matrix into a host piece resolved after the loop; eos_lag
+            # resolves it `lag` chunks after dispatch (_account)
+            chunk_hidden = _HostHidden([chunk_hidden])
+            if lazy_tok:
+                if hasattr(chunk_tokens, "copy_to_host_async"):
+                    chunk_tokens.copy_to_host_async()
+                tok = {"dev": chunk_tokens, "arr": None}
+            elif lag:
+                if hasattr(chunk_tokens, "copy_to_host_async"):
+                    chunk_tokens.copy_to_host_async()
+                tok = chunk_tokens                 # resolved in _account
+            else:
+                _ts = _time.perf_counter()
+                tok = np.asarray(chunk_tokens)               # (S, chunk)
+                t_sync += _time.perf_counter() - _ts
+            t_decode += _t1 - _t0
+            n_chunks += 1
+            pending_acct.append((tok, chunk_hidden, n_chunks - 1))
+            while len(pending_acct) > lag:
+                _account(*pending_acct.pop(0))
+        while pending_acct:  # eos_lag tail: account the in-flight chunks
+            _account(*pending_acct.pop(0))
+
         # wall-time breakdown (always recorded; bench scripts emit it):
         #   prepare_resize  host PIL resize + smart_resize math
         #   prepare_vispack host np.stack of uint8 chunk batches
@@ -1637,8 +1747,6 @@ class EmbedEngine:
             "refill_prefill": round(t_refill, 3),
             "decode_loop_total": round(_time.perf_counter() - _t_loop0, 3),
         }
-        if dbg:
-            logger.warning("generate_many phases: %s", self.last_phase_stats)
 
         # materialize the lazy hidden pieces (transfers already done or in
         # flight — this is host-side assembly, not a device sync point)
@@ -1647,11 +1755,35 @@ class EmbedEngine:
             arr = h.resolve()
             return arr[row, k][None] if kind == "seed" else arr[row, :k]
 
+        def _tokcell(cell):
+            if cell["arr"] is None:
+                cell["arr"] = np.asarray(cell["dev"])
+                cell["dev"] = None
+            return cell["arr"]
+
+        _t0 = _time.perf_counter()
         final = []
         for i in range(n):
             text, ids, toks, prompt_piece, (gen_pieces, cut), prm = results[i]
+            if isinstance(toks, tuple) and toks[0] == "lazy":
+                _, pieces, tcut = toks
+                out = []
+                for p in pieces:
+                    if p[0] == "f":
+                        out.append(int(_tokcell(p[1])[p[2]]))
+                    else:
+                        out.extend(int(t)
+                                   for t in _tokcell(p[1])[p[2], :p[3]])
+                toks = out[:tcut]
+                text = (self.tokenizer.decode(
+                    [t for t in toks if t not in self.eos_ids],
+                    skip_special_tokens=True) if self.tokenizer else "")
             hid = np.concatenate([_hid(p) for p in gen_pieces], axis=0)[:cut]
             final.append((text, ids, toks, _hid(prompt_piece), hid, prm))
+        self.last_phase_stats["final_resolve"] = round(
+            _time.perf_counter() - _t0, 3)
+        if dbg:
+            logger.warning("generate_many phases: %s", self.last_phase_stats)
         ordered = final
         cols = list(zip(*ordered))
         return GenerationResult(
