@@ -40,10 +40,26 @@ def _absmax_quant_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, s
 
 
+def _use_fused_s8(rows: int, k: int, n: int) -> bool:
+    """Fused-epilogue Pallas s8 kernel beats the XLA chain only in a
+    measured window: rows in [512, 2048] (scripts/bench_s8_matmul — at
+    m=1024 qkv 1.178 -> 1.072 ms; at m=8192 prefill shapes XLA wins, at
+    m=128 lm_head chunks XLA wins) and 128-aligned dims."""
+    from thinkdiff_tpu.ops.int8_matmul import s8_supported
+
+    return (jax.default_backend() in ("tpu", "axon")
+            and 512 <= rows <= 2048 and s8_supported(k, n))
+
+
 def _w8a8_fwd_impl(x, q, scale):
     shape = x.shape
     xm = x.reshape(-1, shape[-1])
     xq, sx = _absmax_quant_rows(xm)
+    if _use_fused_s8(xm.shape[0], q.shape[0], q.shape[1]):
+        from thinkdiff_tpu.ops.int8_matmul import _s8_matmul_fused
+
+        y = _s8_matmul_fused(xq, sx, q, scale, x.dtype)
+        return y.reshape(*shape[:-1], q.shape[1])
     acc = jax.lax.dot_general(xq, q, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx[:, None] * scale[None, :].astype(jnp.float32)
@@ -77,6 +93,18 @@ def _w8a8_bwd(res, dy):
     dym = dy.reshape(-1, dy.shape[-1])
     g = dym.astype(jnp.float32) * scale[None, :].astype(jnp.float32)
     gq, sg = _absmax_quant_rows(g)
+    k, n = q.shape
+    if k > n and _use_fused_s8(dym.shape[0], k, n):
+        # XLA's s8 g @ W^T is pathologically slow when the OUTPUT dim
+        # exceeds the contraction dim (wo 10240x4096: 2.70 ms vs the
+        # Pallas contraction-blocked kernel's 1.10 — bench_s8_matmul);
+        # elsewhere (qkv/wi: n >> k) XLA wins and keeps the dot.
+        from thinkdiff_tpu.ops.int8_matmul import _s8_matmul_fused_bwd
+
+        dx = _s8_matmul_fused_bwd(gq, sg, q, dy.dtype).reshape(
+            *dy.shape[:-1], k)
+        return (dx, np.zeros(q.shape, dtype=jax.dtypes.float0),
+                jnp.zeros_like(scale))
     acc = jax.lax.dot_general(gq, q, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
     dx = (acc.astype(jnp.float32) * sg[:, None]).reshape(
