@@ -88,6 +88,11 @@ def main():
                              "value-reading workloads): resolve chunk c's "
                              "tokens after chunk c+L is dispatched so the "
                              "sync overlaps device compute. 0 = off")
+    parser.add_argument("--sampler", choices=["exact", "gumbel"],
+                        default="exact",
+                        help="gumbel = fused lm_head+Gumbel-max Pallas "
+                             "kernel (ops/fused_sample): full-softmax "
+                             "temperature sampling, logits never touch HBM")
     parser.add_argument("--vision-quant", choices=["none", "int8", "w8a8"],
                         default="none",
                         help="vision-tower quantization (decoder quant is "
@@ -140,6 +145,7 @@ def main():
         prefill_chunk=args.prefill_chunk or None,
         preadmit_wave=args.preadmit,
         eos_lag=args.eos_lag,
+        sampler=args.sampler,
     )
     rs = np.random.RandomState(0)
     imgs = [Image.fromarray(
@@ -222,6 +228,7 @@ def main():
         "preadmit": args.preadmit,
         "refill_batch": args.refill_batch,
         "eos_lag": args.eos_lag,
+        "sampler": args.sampler,
         "phases_best": (phase_log[int(np.argmin(iter_times))]
                         if args.mode in ("continuous", "paged") and phase_log
                         else None),

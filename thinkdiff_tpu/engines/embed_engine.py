@@ -295,7 +295,8 @@ class EmbedEngine:
                  prompt_format: str = "qwen2_vl",
                  top_k_prefilter: int = 64,
                  preadmit_wave: int = 0,
-                 eos_lag: int = 0):
+                 eos_lag: int = 0,
+                 sampler: str = "exact"):
         from thinkdiff_tpu.core.distributed import enable_compilation_cache
 
         # serving cold-start: persist compiled executables across engine
@@ -320,6 +321,13 @@ class EmbedEngine:
         # nucleus prefilter width (see sample_logits): 64 saves ~8 ms/step
         # at the 64-slot/152k-vocab serving point vs the old 1024 default
         self.top_k_prefilter = int(top_k_prefilter)
+        # 'exact' = lm_head logits + temperature/top_p nucleus
+        # (sample_logits, the vLLM-parity default); 'gumbel' = fused
+        # lm_head+Gumbel-max Pallas kernel (ops/fused_sample) — full-softmax
+        # temperature sampling, no top_p truncation, logits never
+        # materialized (~2.6 ms/step cheaper at the 64-slot/152k point).
+        # Requires w8a8 LM quant + a real TPU; falls back to exact.
+        self.sampler = str(sampler)
         self.ignore_eos = ignore_eos
         self.eos_ids = list(eos_ids)
         self.system_prompt = system_prompt
@@ -454,6 +462,7 @@ class EmbedEngine:
             top_k_prefilter=int(vcfg.get("top_k_prefilter", 64)),
             preadmit_wave=int(vcfg.get("preadmit_wave", 0)),
             eos_lag=int(vcfg.get("eos_lag", 0)),
+            sampler=str(vcfg.get("sampler", "exact")),
             # vLLM flag name honored; explicit prefill_chunk sets the chunk
             # (0/None/absent = bucketed one-shot prefill)
             prefill_chunk=(int(vcfg.get("prefill_chunk") or 0)
@@ -1139,6 +1148,52 @@ class EmbedEngine:
             self._scatter_fn = scatter
         return self._scatter_fn
 
+    def _fused_sampler_pack(self):
+        """Padded lm_head pack for the fused sample kernel, or None when the
+        gumbel sampler can't run (exact mode, non-w8a8 LM, or no TPU).
+        Built once; ~1.5 MB of padding on the 152k vocab."""
+        if self.sampler != "gumbel":
+            return None
+        if getattr(self, "_lm_pack", None) is not None:
+            return self._lm_pack
+        from thinkdiff_tpu.ops import fused_sample as _fs
+
+        if (getattr(self.cfg, "quant_int8", None) != "w8a8"
+                or not _fs.available()):
+            return None
+        from thinkdiff_tpu.ops.fused_sample import pack_lm_head
+
+        eos = self.eos_ids if not self.ignore_eos else ()
+        head = self.params["lm"].get("lm_head")
+        if head is not None and "kernel_q" in head:
+            self._lm_pack = pack_lm_head(
+                head["kernel_q"], head["kernel_scale"],
+                input_scale=head.get("input_scale"), eos_ids=eos)
+            return self._lm_pack
+        emb = (self.params["lm"].get("embed_tokens") or {}).get("embedding")
+        if emb is None or not getattr(self.cfg, "tie_word_embeddings", False):
+            return None
+        # tied-embedding logits (2B): the attend() path reads the full
+        # (V, D) bf16 table per decode step — the one unquantized straggler
+        # in a w8a8 engine. Quantize per token ON DEVICE (pulling 620 MB
+        # through the tunnel to numpy is minutes) into the kernel's
+        # (D, V) layout; per-channel int8 logit error is the same <=0.4%
+        # class as every other w8a8 projection (tests/test_quant.py), but
+        # greedy fused-vs-attend is no longer bit-identical — gumbel mode
+        # only, never silently applied to the exact path.
+        @jax.jit
+        def _q(emb):
+            w = emb.astype(jnp.float32)            # (V, D)
+            amax = jnp.max(jnp.abs(w), axis=1)     # per token
+            scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+            q = jnp.clip(jnp.round(w / scale[:, None]), -127, 127
+                         ).astype(jnp.int8)
+            return q.T, scale.astype(jnp.float32)  # (D, V), (V,)
+
+        q, scale = _q(emb)
+        self._lm_pack = pack_lm_head(q, scale, eos_ids=eos)
+        return self._lm_pack
+
     def _get_paged_chunk_fn(self, chunk: int, min_tokens: int,
                             temperature: float, top_p: float):
         """K-step decode scan over the paged KV pool. One compiled fn per
@@ -1146,12 +1201,13 @@ class EmbedEngine:
         per-window retraces like the dense path)."""
         if not hasattr(self, "_paged_chunk_fns"):
             self._paged_chunk_fns = {}
-        key = (chunk, min_tokens, temperature, top_p)
+        key = (chunk, min_tokens, temperature, top_p, self.sampler)
         if key in self._paged_chunk_fns:
             return self._paged_chunk_fns[key]
         eos_arr = jnp.asarray(self.eos_ids if self.eos_ids else [-1], jnp.int32)
         ignore_eos = self.ignore_eos
         top_k_pref = self.top_k_prefilter
+        lm_pack = self._fused_sampler_pack()
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk_decode(params, pools, page_table, tokens, cache_len, pos,
@@ -1165,19 +1221,34 @@ class EmbedEngine:
                     position_ids=pos3, caches=pools, cache_len=cache_len,
                     compute_logits=False, page_table=page_table,
                 )
-                logits_last = self.lm.apply(
-                    {"params": params}, hidden[:, 0], method=self.lm.logits
-                )
-                if not ignore_eos:
-                    block = (gen_count < min_tokens - 1)[:, None]
-                    logits_last = jnp.where(
-                        jnp.logical_and(
-                            block,
-                            jnp.isin(jnp.arange(logits_last.shape[-1]),
-                                     eos_arr)[None]),
-                        -jnp.inf, logits_last.astype(jnp.float32))
-                nxt = sample_logits(sub, logits_last, temperature, top_p,
-                                    top_k_prefilter=top_k_pref)
+                if lm_pack is not None:
+                    # fused lm_head+sample: logits never leave VMEM
+                    from thinkdiff_tpu.ops.fused_sample import fused_lm_sample
+
+                    blocked = (jnp.zeros_like(gen_count, jnp.float32)
+                               if ignore_eos else
+                               (gen_count < min_tokens - 1).astype(
+                                   jnp.float32))
+                    seed2 = jax.lax.bitcast_convert_type(sub, jnp.int32)
+                    nxt = fused_lm_sample(
+                        hidden[:, 0], lm_pack, blocked, seed2,
+                        temperature=temperature,
+                        noise=temperature > 0)
+                else:
+                    logits_last = self.lm.apply(
+                        {"params": params}, hidden[:, 0],
+                        method=self.lm.logits
+                    )
+                    if not ignore_eos:
+                        block = (gen_count < min_tokens - 1)[:, None]
+                        logits_last = jnp.where(
+                            jnp.logical_and(
+                                block,
+                                jnp.isin(jnp.arange(logits_last.shape[-1]),
+                                         eos_arr)[None]),
+                            -jnp.inf, logits_last.astype(jnp.float32))
+                    nxt = sample_logits(sub, logits_last, temperature, top_p,
+                                        top_k_prefilter=top_k_pref)
                 return ((pools, nxt, cache_len + 1, pos + 1,
                          gen_count + 1, rng),
                         (nxt, hidden[:, 0].astype(jnp.bfloat16)))

@@ -49,6 +49,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 
+# test hook: tests force the interpret path (noise=False only — the TPU PRNG
+# has no interpreter) by setting INTERPRET=True and patching available()
+INTERPRET = False
+
+
+def available() -> bool:
+    """The kernel needs a real TPU (Mosaic PRNG + int8 MXU path)."""
+    return jax.default_backend() in ("tpu", "axon")
+
 
 def _bits_to_gumbel(bits):
     """uint32 random bits -> Gumbel(0,1) f32.
@@ -146,7 +155,7 @@ def pack_lm_head(kernel_q, kernel_scale, input_scale=None, eos_ids=(),
 
 
 def fused_lm_sample(x, pack, blocked, seed2, *, temperature: float,
-                    noise: bool, interpret: bool = False):
+                    noise: bool, interpret=None):
     """x (B, D) float hidden; pack from pack_lm_head; blocked (B,) f32
     (1.0 = EOS masked for that row); seed2 (2,) int32 PRNG seed (ignored
     when noise=False). Returns (B,) int32 sampled token ids.
@@ -157,6 +166,8 @@ def fused_lm_sample(x, pack, blocked, seed2, *, temperature: float,
     """
     from thinkdiff_tpu.ops.quant import _absmax_quant_rows
 
+    if interpret is None:
+        interpret = INTERPRET
     b, d = x.shape
     q, scale = pack["q"], pack["scale"]
     vp = q.shape[1]
