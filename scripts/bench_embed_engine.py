@@ -88,6 +88,10 @@ def main():
                              "value-reading workloads): resolve chunk c's "
                              "tokens after chunk c+L is dispatched so the "
                              "sync overlaps device compute. 0 = off")
+    parser.add_argument("--overlap-prepare", action="store_true",
+                        help="streaming admission: prepare batch i+1 "
+                             "(engine.prepare_requests) in a worker thread "
+                             "while batch i decodes (paged mode)")
     parser.add_argument("--sampler", choices=["exact", "gumbel"],
                         default="exact",
                         help="gumbel = fused lm_head+Gumbel-max Pallas "
@@ -183,15 +187,32 @@ def main():
                                       refill_batch=args.refill_batch)
         print(f"first pass (compile+run): {time.perf_counter() - t0:.1f}s")
         phase_log = []
+        ex = fut = None
+        if args.overlap_prepare and paged:
+            # streaming admission: batch i+1's prepare (PIL resize, vision
+            # dispatch, prompt build) runs in a worker thread while batch
+            # i decodes — steady-state serving, same prepared inputs
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(1)
+            fut = ex.submit(engine.prepare_requests, req)
         for i in range(args.iters):
             t0 = time.perf_counter()
+            prep = None
+            if fut is not None:
+                prep = fut.result()
+                fut = (ex.submit(engine.prepare_requests, req)
+                       if i + 1 < args.iters else None)
             result = engine.generate_many(req, seed=i + 1, slots=slots,
                                           chunk=args.chunk, paged=paged,
-                                          refill_batch=args.refill_batch)
+                                          refill_batch=args.refill_batch,
+                                          preprepared=prep)
             iter_times.append(time.perf_counter() - t0)
             phase_log.append(dict(engine.last_phase_stats))
             print(f"  iter {i}: {iter_times[-1]:.1f}s phases="
                   f"{engine.last_phase_stats}")
+        if ex is not None:
+            ex.shutdown(wait=False)
         n_tokens = sum(len(t) for t in result.output_token_ids)
         per_batch = n
     else:
@@ -229,6 +250,7 @@ def main():
         "refill_batch": args.refill_batch,
         "eos_lag": args.eos_lag,
         "sampler": args.sampler,
+        "overlap_prepare": bool(args.overlap_prepare),
         "phases_best": (phase_log[int(np.argmin(iter_times))]
                         if args.mode in ("continuous", "paged") and phase_log
                         else None),

@@ -790,3 +790,31 @@ def test_generate_many_eos_lag_parity():
     engine.preadmit_wave = 0
     assert ref.output_token_ids == out.output_token_ids
     assert ref.texts == out.texts
+
+
+def test_generate_many_preprepared_parity():
+    """Streaming admission (prepare_requests -> generate_many(preprepared=))
+    reproduces the synchronous path exactly: same tokens, same hidden
+    states — including when the prepare ran on a WORKER THREAD while
+    another batch was decoding (the vLLM add_request/step split)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine = make_engine(max_tokens=10, min_tokens=2, temperature=0.0)
+    prompts = [f"describe thing number {i} " + "pad " * (i % 4)
+               for i in range(6)]
+    req = {"prompts": prompts}
+    sync = engine.generate_many(req, seed=5, slots=3, chunk=4, paged=True)
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(engine.prepare_requests, req)
+        # decode an unrelated batch while the prepare is in flight
+        engine.generate_many({"prompts": ["other work"] * 4},
+                             seed=1, slots=2, chunk=4, paged=True)
+        prep = fut.result()
+    ovl = engine.generate_many(req, seed=5, slots=3, chunk=4, paged=True,
+                               preprepared=prep)
+    assert sync.output_token_ids == ovl.output_token_ids
+    assert engine.last_phase_stats["prepare_total"] < 0.05
+    for i in range(6):
+        np.testing.assert_allclose(
+            sync.hidden_states[i], ovl.hidden_states[i], atol=1e-5)

@@ -636,12 +636,36 @@ class EmbedEngine:
 
     def _get_first_fn(self):
         """logits + first-token sampling from the last prompt hidden state
-        (the chunked-prefill tail of _get_prefill_fn's fused epilogue)."""
+        (the chunked-prefill tail of _get_prefill_fn's fused epilogue).
+        In gumbel mode the fused lm_head+sample kernel serves the FIRST
+        token too, so every sampled token in a stream draws from the same
+        (full-softmax) family."""
         if self._first_fn is None:
+            if self._fused_sampler_pack() is not None:
+                from thinkdiff_tpu.ops.fused_sample import fused_lm_sample
+
+                block_first = float((not self.ignore_eos)
+                                    and self.min_tokens > 1)
+                temperature = self.temperature
+
+                @jax.jit
+                def first_fn(params, last_hidden, rng, lm_pack):
+                    # lm_pack rides as an ARGUMENT: closing over it would
+                    # embed the 150 MB int8 table in the compile payload
+                    b = last_hidden.shape[0]
+                    blocked = jnp.full((b,), block_first, jnp.float32)
+                    seed2 = jax.lax.bitcast_convert_type(rng, jnp.int32)
+                    return fused_lm_sample(
+                        last_hidden.astype(self.cfg.dtype), lm_pack,
+                        blocked, seed2, temperature=temperature,
+                        noise=temperature > 0)
+
+                self._first_fn = first_fn
+                return self._first_fn
             sample_first = self._make_first_sampler()
 
             @jax.jit
-            def first_fn(params, last_hidden, rng):
+            def first_fn(params, last_hidden, rng, lm_pack=None):
                 logits = self.lm.apply(
                     {"params": params}, last_hidden.astype(self.cfg.dtype),
                     method=self.lm.logits,
@@ -814,10 +838,9 @@ class EmbedEngine:
             rows_pad = 1 << max(0, (bank.shape[0] - 1).bit_length())
             if rows_pad != bank.shape[0]:
                 bank = jnp.pad(bank, ((0, rows_pad - bank.shape[0]), (0, 0)))
-            self._img_bank = bank
+            img_bank = bank
         else:
-            self._img_bank = jnp.zeros((1, self.cfg.hidden_size),
-                                       self.cfg.dtype)
+            img_bank = jnp.zeros((1, self.cfg.hidden_size), self.cfg.dtype)
         _ph["vision"] = _time.perf_counter() - _t0 - _ph["vision_pack"]
         _t0 = _time.perf_counter()
 
@@ -852,8 +875,27 @@ class EmbedEngine:
                                  img_bank_rows=img_bank_rows,
                                  img_local_idx=img_local_idx))
         _ph["prompt"] = _time.perf_counter() - _t0
-        self._prepare_phases = _ph
-        return prepared
+        return prepared, img_bank, _ph
+
+    def prepare_requests(self, samples: Dict[str, Any], raw: bool = None):
+        """STREAMING ADMISSION: build a request batch's host+device inputs
+        (PIL resize, vision-tower dispatch, prompt/M-RoPE build) WITHOUT
+        touching engine serving state, so it can run in a worker thread
+        while a previous batch is still decoding — the vLLM
+        add_request/step split. Pass the result to ``generate_many(...,
+        preprepared=...)``; greedy streams are identical to the
+        synchronous path (same prepared inputs, same seeds). Host work
+        (numpy/PIL) releases the GIL and the vision dispatches are async,
+        so the overlap is real on one chip."""
+        images_per_sample = samples.get("images", [])
+        if raw is None:
+            raw = bool(samples.get("raw_prompts"))
+        texts = (samples.get("raw_prompts") or samples.get("answers")
+                 or samples.get("prompts"))
+        prepared, img_bank, phases = self._prepare(
+            texts, images_per_sample, raw=raw)
+        return {"prepared": prepared, "img_bank": img_bank,
+                "phases": phases, "texts": texts}
 
     def _pack_prompt_buffers(self, prepared, rows, pad_to):
         """Host-side padded prompt buffers shared by both prefill paths.
@@ -997,7 +1039,8 @@ class EmbedEngine:
                 window,
             )
             hid_chunks.append(hidden_k)
-        first = self._get_first_fn()(self.params["lm"], last_acc, rng)[:m]
+        first = self._get_first_fn()(self.params["lm"], last_acc, rng,
+                                     self._fused_sampler_pack())[:m]
         if m_pad != m:
             caches = jax.tree.map(lambda a: a[:m], caches)
         # bf16 + lazy (see _prefill); padding rows >= m are never indexed
@@ -1024,7 +1067,8 @@ class EmbedEngine:
         b = len(texts)
         max_tokens = int(max_new_tokens or self.max_tokens)
 
-        prepared = self._prepare(texts, images_per_sample, raw=raw)
+        prepared, self._img_bank, self._prepare_phases = self._prepare(
+            texts, images_per_sample, raw=raw)
         rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)
         first, hidden, caches, prompt_lens, last_idx, start_pos = \
@@ -1207,11 +1251,9 @@ class EmbedEngine:
         eos_arr = jnp.asarray(self.eos_ids if self.eos_ids else [-1], jnp.int32)
         ignore_eos = self.ignore_eos
         top_k_pref = self.top_k_prefilter
-        lm_pack = self._fused_sampler_pack()
-
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def chunk_decode(params, pools, page_table, tokens, cache_len, pos,
-                         gen_count, rng):
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def chunk_decode(params, lm_pack, pools, page_table, tokens,
+                         cache_len, pos, gen_count, rng):
             def step(carry, i):
                 pools, tokens, cache_len, pos, gen_count, rng = carry
                 rng, sub = jax.random.split(rng)
@@ -1291,7 +1333,9 @@ class EmbedEngine:
                       max_new_tokens: Optional[int] = None, seed: int = 0,
                       slots: Optional[int] = None, chunk: int = 32,
                       paged: Optional[bool] = None,
-                      refill_batch: int = 0) -> GenerationResult:
+                      refill_batch: int = 0,
+                      preprepared: Optional[Dict[str, Any]] = None
+                      ) -> GenerationResult:
         """Continuous batching over an arbitrary request list (the scheduler
         role vLLM plays for the reference — thinkdiff/models/
         mllama_vllm_generate_1.py:382-413): a fixed pool of `slots` decode
@@ -1358,7 +1402,16 @@ class EmbedEngine:
         import time as _time
         dbg = _os.environ.get("THINKDIFF_ENGINE_DEBUG")
         _tp0 = _time.perf_counter()
-        prepared = self._prepare(texts, images_per_sample, raw=raw)
+        if preprepared is not None:
+            # streaming admission (prepare_requests ran concurrently with
+            # the previous batch's decode): adopt its bank + inputs
+            prepared = preprepared["prepared"]
+            self._img_bank = preprepared["img_bank"]
+            self._prepare_phases = dict(preprepared["phases"],
+                                        overlapped=1.0)
+        else:
+            prepared, self._img_bank, self._prepare_phases = self._prepare(
+                texts, images_per_sample, raw=raw)
         t_prepare = _time.perf_counter() - _tp0
         # longest-first: early refill groups get the big prompt buckets
         order = sorted(range(n), key=lambda i: -len(prepared[i]["ids"]))
@@ -1749,8 +1802,8 @@ class EmbedEngine:
                     chunk, self.min_tokens, self.temperature, self.top_p)
                 (pools, tokens_dev, cache_len, pos, gen_count,
                  chunk_tokens, chunk_hidden) = fn(
-                    self.params["lm"], pools, table_dev, tokens_dev,
-                    cache_len, pos, gen_count, sub)
+                    self.params["lm"], self._fused_sampler_pack(), pools,
+                    table_dev, tokens_dev, cache_len, pos, gen_count, sub)
             else:
                 max_len = int(np.asarray(cache_len)[slot_active].max()) + chunk
                 window = min(-(-max_len // 256) * 256, cache_size)

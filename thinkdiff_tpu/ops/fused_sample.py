@@ -65,8 +65,10 @@ def _bits_to_gumbel(bits):
     Top 24 bits + 0.5 give u uniform on (2**-25, 1 - 2**-25) — strictly
     inside (0, 1), so both logs are finite. Shared by the kernel and the
     pure-numpy test reference (tests/test_fused_sample.py)."""
-    u = (jnp.right_shift(bits, jnp.uint32(8)).astype(jnp.float32)
-         + 0.5) * (2.0 ** -24)
+    top24 = jax.lax.bitcast_convert_type(
+        jnp.right_shift(bits, jnp.uint32(8)), jnp.int32)
+    # Mosaic has no uint32->f32 cast; after >>8 the value fits int32 exactly
+    u = (top24.astype(jnp.float32) + 0.5) * (2.0 ** -24)
     return -jnp.log(-jnp.log(u))
 
 
@@ -97,7 +99,10 @@ def _fused_sample_kernel(seed_ref, xq_ref, sx_ref, w_ref, s_ref, pb_ref,
     per = (logits * inv_temp + pb_ref[0, :][None]
            + blk_ref[0, :][:, None] * eb_ref[0, :][None])
     if noise:
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], j)
+        # 2-arg form: Mosaic's 3-arg prng_seed lowering rejects a
+        # program_id operand; fold the block index into the first word
+        # (wrap-around add keeps int32)
+        pltpu.prng_seed(seed_ref[0] + j * jnp.int32(1000003), seed_ref[1])
         bits = pltpu.bitcast(pltpu.prng_random_bits((b, bn)), jnp.uint32)
         per = per + _bits_to_gumbel(bits)
 
@@ -171,7 +176,11 @@ def fused_lm_sample(x, pack, blocked, seed2, *, temperature: float,
     b, d = x.shape
     q, scale = pack["q"], pack["scale"]
     vp = q.shape[1]
-    bn = pack["block_n"]
+    # block size derives STATICALLY from the padded shape (the pack dict
+    # may pass through a jit boundary, where its int entries are tracers —
+    # the engine passes the pack as an ARGUMENT so the 150 MB int8 table is
+    # a runtime buffer, not a remote-compile payload constant)
+    bn = next(c for c in (2048, 1024, 512, 256, 128) if vp % c == 0)
     inv_temp = 1.0 / temperature if (noise and temperature > 0) else 1.0
     xs = x.astype(jnp.float32) * pack["inv_input"][None]
     xq, sx = _absmax_quant_rows(xs)
