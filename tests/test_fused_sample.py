@@ -45,7 +45,8 @@ class TestKernelGreedy:
         q, scale = _quantize(w)
         x = rs.randn(B, D).astype(np.float32)
         pack = fs.pack_lm_head(q, scale, eos_ids=[5, 7])
-        assert pack["q"].shape[1] == 512 and pack["block_n"] == 256
+        nb, d_, bn = pack["q"].shape  # contiguous (nB, D, bN) tiles
+        assert (nb * bn, d_, pack["block_n"]) == (512, D, 256)
 
         logits = _xla_logits(x, q, scale)
         blocked = np.zeros(B, np.float32)
@@ -96,7 +97,7 @@ class TestKernelGreedy:
         w = rs.randn(D, V).astype(np.float32)
         q, scale = _quantize(w)
         pack = fs.pack_lm_head(q, scale)
-        assert pack["block_n"] == 128 and pack["q"].shape[1] == 128
+        assert pack["block_n"] == 128 and pack["q"].shape == (1, D, 128)
         got = fs.fused_lm_sample(
             jnp.asarray(rs.randn(B, D), jnp.float32), pack, jnp.zeros(B),
             jnp.zeros(2, jnp.int32), temperature=0.0, noise=False,
@@ -257,7 +258,9 @@ class TestEngineIntegration:
         scale = np.where(amax == 0, 1.0, amax / 127.0).astype(np.float32)
         q = np.clip(np.round(emb / scale[:, None]), -127, 127
                     ).astype(np.int8).T
-        np.testing.assert_array_equal(np.asarray(pack["q"])[:, :emb.shape[0]], q)
+        flat = np.asarray(pack["q"]).transpose(1, 0, 2).reshape(
+            emb.shape[1], -1)
+        np.testing.assert_array_equal(flat[:, :emb.shape[0]], q)
 
         rs = np.random.RandomState(7)
         x = rs.randn(8, emb.shape[1]).astype(np.float32)

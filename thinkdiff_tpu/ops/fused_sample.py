@@ -77,13 +77,13 @@ def _fused_sample_kernel(seed_ref, xq_ref, sx_ref, w_ref, s_ref, pb_ref,
                          num_j: int, inv_temp: float, noise: bool):
     """grid (nV,) over vocab column blocks.
 
-    xq (B, D) s8; sx (1, B) f32 per-row act scales; w (D, bN) s8;
-    s/pb/eb (1, bN) f32; blk (1, B) f32; idx out (B, 1) i32;
-    scratches val (B, 128) f32 / col (B, 128) i32 hold the per-lane running
-    (max value, global column) across blocks."""
+    xq (B, D) s8; sx (1, B) f32 per-row act scales; w (1, D, bN) s8 — one
+    CONTIGUOUS pre-tiled block; s/pb/eb (1, bN) f32; blk (1, B) f32;
+    idx out (B, 1) i32; scratches val (B, 128) f32 / col (B, 128) i32 hold
+    the per-lane running (max value, global column) across blocks."""
     j = pl.program_id(0)
     b = xq_ref.shape[0]
-    bn = w_ref.shape[1]
+    bn = w_ref.shape[2]
 
     @pl.when(j == 0)
     def _init():
@@ -91,7 +91,7 @@ def _fused_sample_kernel(seed_ref, xq_ref, sx_ref, w_ref, s_ref, pb_ref,
         col_scr[...] = jnp.zeros_like(col_scr)
 
     acc = jax.lax.dot_general(
-        xq_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        xq_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     logits = (acc.astype(jnp.float32)
               * sx_ref[0, :].astype(jnp.float32)[:, None]
@@ -144,6 +144,11 @@ def pack_lm_head(kernel_q, kernel_scale, input_scale=None, eos_ids=(),
     q = jnp.asarray(kernel_q, jnp.int8)
     if vp > v:
         q = jnp.pad(q, ((0, 0), (0, vp - v)))
+    # retile (D, Vp) -> (Vp/bn, D, bn): each grid step's weight block is
+    # CONTIGUOUS in HBM. Column tiles of the flat layout are 2 KB strided
+    # runs (one per row) — measured 160 GB/s effective stream vs the
+    # ~800 GB/s a contiguous block DMA sustains.
+    q = q.reshape(d, vp // bn, bn).transpose(1, 0, 2)
     scale = jnp.pad(jnp.asarray(kernel_scale, jnp.float32), (0, vp - v),
                     constant_values=1.0)
     pad_bias = np.zeros(vp, np.float32)
@@ -175,12 +180,12 @@ def fused_lm_sample(x, pack, blocked, seed2, *, temperature: float,
         interpret = INTERPRET
     b, d = x.shape
     q, scale = pack["q"], pack["scale"]
-    vp = q.shape[1]
-    # block size derives STATICALLY from the padded shape (the pack dict
-    # may pass through a jit boundary, where its int entries are tracers —
-    # the engine passes the pack as an ARGUMENT so the 150 MB int8 table is
-    # a runtime buffer, not a remote-compile payload constant)
-    bn = next(c for c in (2048, 1024, 512, 256, 128) if vp % c == 0)
+    # shapes derive STATICALLY from the tiled (nB, D, bN) weight (the pack
+    # dict may pass through a jit boundary, where its int entries are
+    # tracers — the engine passes the pack as an ARGUMENT so the 150 MB
+    # int8 table is a runtime buffer, not a compile-payload constant)
+    nb, _, bn = q.shape
+    vp = nb * bn
     inv_temp = 1.0 / temperature if (noise and temperature > 0) else 1.0
     xs = x.astype(jnp.float32) * pack["inv_input"][None]
     xq, sx = _absmax_quant_rows(xs)
@@ -193,7 +198,8 @@ def fused_lm_sample(x, pack, blocked, seed2, *, temperature: float,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, bn), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
