@@ -168,7 +168,7 @@ def main():
     model = MllamaT5EmbedDecoder(ConfigNode({
         "dtype": "bfloat16", "load_pretrained": False,
         "quantize_frozen": "int8_dyn",
-        "chunked_ce": 32,
+        "chunked_ce": int(os.environ.get("BENCH_CE", 32)),
         "mm_projector_type": "mlp2x_gelu_t5_norm",
         "vlm_hidden_size": 3584, "t5_config": t5_over,
     }))
