@@ -156,3 +156,59 @@ class TestWideInt8Matmul:
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(im.int8_matmul_reference(x, q, s)),
             rtol=1e-5)
+
+
+class TestS8FusedQx:
+    def _interp(self):
+        import importlib
+        from unittest import mock
+
+        im = importlib.import_module("thinkdiff_tpu.ops.int8_matmul")
+        real = im.pl.pallas_call
+
+        def call(*args, **kwargs):
+            kwargs["interpret"] = True
+            kwargs.pop("compiler_params", None)
+            return real(*args, **kwargs)
+
+        return im, mock.patch.object(im.pl, "pallas_call", call)
+
+    def test_qx_matches_prepass_chain(self):
+        """Quantize-in-kernel fwd == the XLA absmax pre-pass + s8 dot +
+        epilogue, bit-for-bit (same quant formula, int32-exact dot)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        im, ctx = self._interp()
+        from thinkdiff_tpu.ops.quant import _absmax_quant_rows
+
+        rs = np.random.RandomState(11)
+        m, k, n = 96, 256, 384
+        x = jnp.asarray(rs.randn(m, k), jnp.float32)
+        q = jnp.asarray(rs.randint(-127, 128, (k, n)), jnp.int8)
+        s = jnp.asarray(rs.rand(n) * 0.01 + 1e-3, jnp.float32)
+        assert im.s8_qx_supported(m, k, n)
+        xq, sx = _absmax_quant_rows(x)
+        acc = np.asarray(xq, np.int64) @ np.asarray(q, np.int64)
+        ref = (acc.astype(np.float32) * np.asarray(sx)[:, None]
+               * np.asarray(s)[None])
+        with ctx:
+            y = im._s8_matmul_fused_qx(x, q, s, jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+    def test_qx_row_padding_and_gate(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        im, ctx = self._interp()
+        rs = np.random.RandomState(12)
+        m, k, n = 33, 128, 128
+        x = jnp.asarray(rs.randn(m, k), jnp.float32)
+        q = jnp.asarray(rs.randint(-127, 128, (k, n)), jnp.int8)
+        s = jnp.ones((n,), jnp.float32)
+        with ctx:
+            y = im._s8_matmul_fused_qx(x, q, s, jnp.float32)
+        assert y.shape == (m, n)
+        # gate: K beyond one VMEM block is rejected
+        assert not im.s8_qx_supported(1024, 8192, 4096)
+        assert im.s8_qx_supported(1024, 4096, 12288)

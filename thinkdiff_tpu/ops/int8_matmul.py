@@ -429,3 +429,88 @@ def _s8_matmul_fused_bwd(gq, sg, w_q, out_dtype):
 def s8_supported(k: int, n: int) -> bool:
     return bool(_pick_block(n, (512, 384, 256, 128))
                 and _pick_block(k, (512, 384, 256, 128)))
+
+
+# ================== fused QUANTIZE + s8 matmul (fwd, K <= 4096) =============
+#
+# When the whole contraction dim fits one VMEM block (d_model=4096 at the
+# training shapes: qkv/kv/q/o/wi), the per-row absmax activation quant can
+# run IN-kernel instead of as an XLA pre-pass: x streams in as bf16 once per
+# row-tile, is quantized into an int8 scratch on the first N step, and the
+# int8 copy + scales are reused for every N tile. Removes the separate
+# absmax read+quant-write+re-read of x per projection (profiled ~8 ms/step
+# of abs_reduce fusions + the xq HBM round-trip, PERF.md round-5 roofline).
+
+
+def _s8_fwd_qx_kernel(x_ref, w_ref, s_ref, o_ref, xq_scr, sx_scr):
+    """grid (nR, nN) n innermost; x (bR, K) bf16/f32, w (K, bN) s8,
+    s (1, bN) f32; scratches xq (bR, K) s8, sx (bR, 128) f32."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _quant():
+        xf = x_ref[...].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1)
+        sx = jnp.maximum(amax, 1e-30) / 127.0   # == quant._absmax_quant_rows
+        xq_scr[...] = jnp.clip(jnp.round(xf / sx[:, None]),
+                               -127, 127).astype(jnp.int8)
+        sx_scr[...] = jnp.broadcast_to(sx[:, None], sx_scr.shape)
+
+    acc = jax.lax.dot_general(
+        xq_scr[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    s = s_ref[0, :].astype(jnp.float32)
+    o_ref[...] = (acc.astype(jnp.float32)
+                  * sx_scr[:, 0][:, None] * s[None]).astype(o_ref.dtype)
+
+
+def s8_qx_supported(r: int, k: int, n: int) -> bool:
+    """Single-K-block geometry: K 128-aligned and <= 4096 (VMEM: bf16 x
+    tile + int8 scratch + double-buffered weight tiles at bR<=256)."""
+    return bool(k <= 4096 and k % 128 == 0
+                and _pick_block(n, (512, 384, 256, 128)))
+
+
+def _s8_matmul_fused_qx(x, w_q, scale, out_dtype):
+    """x (R, K) float (UNquantized), w_q (K, N) int8, scale (N,) f32.
+    Quantize-in-kernel variant of _s8_matmul_fused; numerics identical to
+    _absmax_quant_rows + s8 dot + epilogue."""
+    r, k = x.shape
+    n = w_q.shape[1]
+    # bR 512 (= _s8_blocks): halving bR doubles the full-weight restreams
+    # (w blocks re-fetch per row-tile) — measured 188.7 vs 195.6 samples/s
+    # at bR 256. The N tile shrinks to 256 instead: bn only sets the
+    # epilogue granularity (K is a single block), and bR=512/bn=512
+    # overflows the 16 MB VMEM budget by 1.6 MB (compile-checked).
+    block_r = min(512, max(32, _cdiv(r, 32) * 32))
+    block_n = _pick_block(n, (256, 128))
+    r_pad = _cdiv(r, block_r) * block_r - r
+    if r_pad:
+        x = jnp.pad(x, ((0, r_pad), (0, 0)))
+    grid = ((r + r_pad) // block_r, n // block_n)
+    out = pl.pallas_call(
+        _s8_fwd_qx_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r + r_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_r, k), jnp.int8),
+                        pltpu.VMEM((block_r, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (r + r_pad) * k * n,
+            bytes_accessed=k * n + (r + r_pad) * k * 2 + (r + r_pad) * n * 2,
+            transcendentals=0,
+        ),
+    )(x, w_q, scale.reshape(1, -1))
+    return out[:r] if r_pad else out

@@ -55,6 +55,13 @@ def _w8a8_fwd_impl(x, q, scale):
     shape = x.shape
     xm = x.reshape(-1, shape[-1])
     xq, sx = _absmax_quant_rows(xm)
+    # NOTE: quantize-IN-kernel (int8_matmul._s8_matmul_fused_qx) was built
+    # and measured as the round-5 roofline's named lever — it LOSES to this
+    # pre-pass + fused-dot split at every geometry tried (195.6 -> 188.7
+    # samples/s at bR=256, -> 194.9 at bR=512/bn=256; bR=512/bn=512 VMEM-
+    # OOMs by 1.6 MB). XLA fuses the absmax pass with the producer, and the
+    # bf16 x tile + int8 scratch squeeze the weight pipeline's VMEM. The
+    # kernel stays (tested) as the record of the attempt.
     if _use_fused_s8(xm.shape[0], q.shape[0], q.shape[1]):
         from thinkdiff_tpu.ops.int8_matmul import _s8_matmul_fused
 
