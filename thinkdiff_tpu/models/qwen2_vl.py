@@ -95,9 +95,11 @@ class Qwen2VLConfig:
     @classmethod
     def qwen2_vl_2b(cls, vision_quant: Any = False, **kw):
         base = dict(dtype=jnp.bfloat16)
-        if vision_quant:
-            base["vision"] = Qwen2VLVisionConfig(
-                dtype=jnp.bfloat16, quant_int8=vision_quant)
+        # vision dtype ALWAYS follows the model dtype: before round 5 the
+        # unquantized branch silently kept the dataclass default (f32) —
+        # the round-4 "bf16 vision" serving baseline actually ran f32
+        base["vision"] = Qwen2VLVisionConfig(
+            dtype=jnp.bfloat16, quant_int8=vision_quant)
         base.update(kw)
         return cls(**base)
 
@@ -179,9 +181,18 @@ class VisionBlock(nn.Module):
         y = ln("norm1")(x)
         qkv = qd(3 * d, "qkv")(y)
         b, seq, _ = x.shape
-        qkv = qkv.reshape(b, seq, 3, h, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, S, hd)
-        q, k = apply_rope(q, k, cos, sin)
+        # rope BEFORE the head transpose: the rotary's f32 compute then
+        # reads/writes the contiguous (B, S, H*hd) layout, and the
+        # (S <-> H) transposes move bf16, not f32 — the D=80 strided
+        # copies were 42% of the int8 tower's chunk (PERF.md round-5
+        # vision profile). Same math, same cast points — numerics
+        # identical to the transpose-first order.
+        qkv = qkv.reshape(b, seq, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, hd)
+        q, k = apply_rope(q, k, cos[:, None], sin[:, None])
+        q = q.transpose(0, 2, 1, 3)  # (B, H, S, hd)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
         out = flash_attention(
             q, k, v,
             attn_bias[None, None] if attn_bias is not None else None,
